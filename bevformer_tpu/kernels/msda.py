@@ -1,0 +1,152 @@
+"""Multi-scale deformable attention — the framework's core sampling op.
+
+Replaces the reference's CUDA `ms_deform_attn_forward/backward`
+(`/root/reference/projects/mmdet3d_plugin/bevformer/modules/
+multi_scale_deformable_attn_function.py:15-124`, kernel loaded at
+`modules/encoder.py:20-21`). Semantics (the spec is mmcv's pure-PyTorch
+fallback `multi_scale_deformable_attn_pytorch`, used by the reference on CPU):
+
+  For every (batch, query, head, level, point): bilinearly sample the value
+  feature map of that level at `sampling_locations` (normalized [0,1],
+  grid_sample align_corners=False convention => pixel = loc * size - 0.5,
+  zero padding outside), multiply by the softmaxed `attention_weights`, and
+  sum over (level, point).
+
+Two implementations:
+  * `ms_deform_attn_jnp` — pure-XLA gather formulation. Static shapes, fp32
+    accumulation, differentiable. Used as the correctness oracle and the
+    fallback path.
+  * a fused Pallas TPU kernel (see `msda_pallas.py`) for the hot encoder /
+    decoder paths, validated against the jnp version.
+
+Layouts are batch-first: value [B, K, H, D], locations [B, Q, H, L, P, 2],
+weights [B, Q, H, L, P] -> output [B, Q, H*D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _level_bounds(spatial_shapes: Sequence[Tuple[int, int]]):
+    starts, sizes = [], []
+    s = 0
+    for h, w in spatial_shapes:
+        starts.append(s)
+        sizes.append(h * w)
+        s += h * w
+    return starts, sizes, s
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_jnp(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pure-XLA multi-scale deformable attention.
+
+    Args:
+      value: [B, K, H, D] where K = sum(h*w over levels).
+      spatial_shapes: static tuple of (h, w) per level.
+      sampling_locations: [B, Q, H, L, P, 2], normalized (x, y) in [0, 1].
+      attention_weights: [B, Q, H, L, P], softmaxed over (L, P).
+
+    Returns:
+      [B, Q, H*D] (accumulated in fp32, cast back to value.dtype).
+    """
+    b, k, h, d = value.shape
+    _, q, _, l, p, _ = sampling_locations.shape
+    starts, sizes, total = _level_bounds(spatial_shapes)
+    assert total == k, f"spatial_shapes {spatial_shapes} != num_keys {k}"
+
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+
+    # [B, K, H, D] -> [B*H, K, D]
+    val = jnp.swapaxes(value, 1, 2).reshape(b * h, k, d)
+
+    out = jnp.zeros((b * h, q, d), jnp.float32)
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        val_l = jax.lax.dynamic_slice_in_dim(val, starts[lvl], sizes[lvl], 1)
+        val_l = val_l.astype(jnp.float32)
+
+        # pixel coords, grid_sample align_corners=False convention
+        x = loc[:, :, :, lvl, :, 0] * ww - 0.5  # [B, Q, H, P]
+        y = loc[:, :, :, lvl, :, 1] * hh - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        w_l = attw[:, :, :, lvl, :]  # [B, Q, H, P]
+
+        acc = jnp.zeros((b * h, q, d), jnp.float32)
+        for dy, dx, wgt in (
+            (0, 0, (1 - tx) * (1 - ty)),
+            (0, 1, tx * (1 - ty)),
+            (1, 0, (1 - tx) * ty),
+            (1, 1, tx * ty),
+        ):
+            cx = x0i + dx
+            cy = y0i + dy
+            valid = (cx >= 0) & (cx < ww) & (cy >= 0) & (cy < hh)
+            idx = jnp.clip(cy, 0, hh - 1) * ww + jnp.clip(cx, 0, ww - 1)
+            # fold attention weight into the corner weight before gathering
+            cw = wgt * w_l * valid.astype(jnp.float32)  # [B, Q, H, P]
+            # [B, Q, H, P] -> [B*H, Q, P]
+            idx_bh = jnp.swapaxes(idx, 1, 2).reshape(b * h, q, p)
+            cw_bh = jnp.swapaxes(cw, 1, 2).reshape(b * h, q, p)
+            gathered = jnp.take_along_axis(
+                val_l[:, :, None, :],  # [B*H, K, 1, D]
+                idx_bh.reshape(b * h, q * p)[:, :, None, None],
+                axis=1,
+            )  # [B*H, Q*P, 1, D]
+            gathered = gathered.reshape(b * h, q, p, d)
+            acc = acc + jnp.einsum(
+                "nqp,nqpd->nqd", cw_bh, gathered,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out = out + acc
+
+    out = out.reshape(b, h, q, d)
+    out = jnp.swapaxes(out, 1, 2).reshape(b, q, h * d)
+    return out.astype(value.dtype)
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    *,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching entry point used by the model modules.
+
+    impl: 'auto' | 'jnp' | 'pallas'. 'auto' picks the Pallas kernel on TPU
+    when the shape is supported, else the XLA gather path.
+    """
+    spatial_shapes = tuple((int(a), int(b)) for a, b in spatial_shapes)
+    if impl in ("auto", "pallas"):
+        from bevformer_tpu.kernels import msda_pallas
+
+        if msda_pallas.supported(value, spatial_shapes, sampling_locations):
+            return msda_pallas.ms_deform_attn_pallas(
+                value, spatial_shapes, sampling_locations, attention_weights
+            )
+        if impl == "pallas":
+            raise ValueError(
+                "Pallas msda kernel does not support this shape: "
+                f"value={value.shape} levels={spatial_shapes}"
+            )
+    return ms_deform_attn_jnp(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )

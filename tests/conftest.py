@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+All tests run on CPU with 8 virtual devices so multi-chip sharding paths
+(`bevformer_tpu.runtime`) are exercised without TPU hardware, as the driver
+does via `__graft_entry__.dryrun_multichip`.
+"""
+
+import os
+
+# Force CPU even when the ambient environment selects a TPU platform
+# (JAX_PLATFORMS=axon): unit tests must be hardware-independent. The site
+# customization partially imports jax at interpreter start, so setting the
+# env var alone is not enough — update the jax config explicitly too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
