@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark: bevformer_base inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+A frame is one 6-camera nuScenes sample at base resolution (928x1600),
+full video inference step (backbone + FPN + BEV encoder w/ temporal state +
+decoder + head). Timing is measured with the work chained inside a single
+jitted lax.scan (the prev_bev carry makes every step data-dependent on the
+last, so no overlap tricks) and a host fetch at the end — this is required
+on the axon relay, where block_until_ready returns early.
+
+vs_baseline: the reference publishes no FPS (BASELINE.md); the widely used
+reference point is ~3 frames/sec for bevformer_base on A100 with the
+mmcv CUDA kernel (paper reports 1.7 FPS on V100). vs_baseline = ours / 3.0,
+i.e. >1.0 means faster than the A100 reference per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_BASELINE_FPS = 3.0
+N_STEPS = int(os.environ.get("BENCH_STEPS", "8"))
+CONFIG = os.environ.get("BENCH_CONFIG", "bevformer_base")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bevformer_tpu.configs import get_config
+    from bevformer_tpu.models import BEVFormer
+    from __graft_entry__ import _example_inputs
+
+    cfg = get_config(CONFIG)
+    # inference in bf16 (the TPU-native precision; projection/sampling code
+    # paths force fp32 internally)
+    cfg = cfg.replace(dtype="bfloat16")
+    model = BEVFormer(cfg=cfg)
+
+    images, can_bus, lidar2img, prev_bev, has_prev = _example_inputs(cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), images, can_bus, lidar2img, prev_bev, has_prev
+    )
+    has_prev = jnp.ones_like(has_prev)
+
+    def step(pb, _):
+        out = model.apply(params, images, can_bus, lidar2img, pb, has_prev)
+        return out["bev_embed"].astype(jnp.float32), out["all_cls_scores"].sum()
+
+    loop = jax.jit(
+        lambda pb: jax.lax.scan(step, pb, None, length=N_STEPS)[1].sum()
+    )
+    float(loop(prev_bev))  # compile + warm up
+    t0 = time.time()
+    float(loop(prev_bev))
+    dt = (time.time() - t0) / N_STEPS
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{CONFIG} 6-cam inference throughput (1 TPU chip)",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,230 @@
+"""Config system: frozen dataclasses + a small registry.
+
+Replaces the reference's mmcv python-file configs with `_base_` inheritance
+(`projects/configs/bevformer/*.py`) while keeping the same *surface*: the
+five model-zoo configs are registered by their reference names and carry the
+same field values. CLI `--cfg-options a.b=c` overrides are supported via
+`apply_overrides` (mirroring `tools/train.py:67-76`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+PC_RANGE = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline configuration (per model config)."""
+
+    # raw camera image size before aug (nuScenes: 900x1600)
+    raw_size: Tuple[int, int] = (900, 1600)
+    # single-scale resize factor (RandomScaleImageMultiViewImage)
+    scale: float = 1.0
+    # pad-to divisor (PadMultiViewImage)
+    size_divisor: int = 32
+    # per-channel mean/std; to_rgb=False means caffe/BGR
+    mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
+    std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    to_rgb: bool = False
+    use_photometric: bool = True  # train-time PhotoMetricDistortion
+    queue_length: int = 4
+    num_cams: int = 6
+
+    @property
+    def img_size(self) -> Tuple[int, int]:
+        """Network input (H, W) after resize + pad.
+
+        This is also the `img_shape` used to normalize camera projections:
+        the reference's Pad transform overwrites `img_shape` with the padded
+        shape (`pipelines/transform_3d.py:_pad_img`), which `point_sampling`
+        then divides by (`encoder.py:130-131`).
+        """
+        h, w = self.resized_size
+        d = self.size_divisor
+        return ((h + d - 1) // d * d, (w + d - 1) // d * d)
+
+    @property
+    def resized_size(self) -> Tuple[int, int]:
+        """(H, W) after resize, before pad (floor scaling, matching
+        `RandomScaleImageMultiViewImage`'s int() truncation)."""
+        return (
+            int(self.raw_size[0] * self.scale),
+            int(self.raw_size[1] * self.scale),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + cosine schedule, mirrors `bevformer_base.py:228-244`."""
+
+    lr: float = 2e-4
+    weight_decay: float = 0.01
+    backbone_lr_mult: float = 0.1
+    grad_clip_norm: float = 35.0
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3.0
+    min_lr_ratio: float = 1e-3
+    total_epochs: int = 24
+    samples_per_gpu: int = 1
+    frozen_stages: int = 1  # backbone stem+stage1 frozen
+
+
+@dataclasses.dataclass(frozen=True)
+class BEVFormerConfig:
+    name: str = "bevformer_base"
+    # backbone / neck
+    backbone_depth: int = 101
+    backbone_out_indices: Tuple[int, ...] = (1, 2, 3)
+    backbone_dcn_stages: Tuple[int, ...] = (2, 3)
+    backbone_style: str = "caffe"
+    neck_in_channels: Tuple[int, ...] = (512, 1024, 2048)
+    num_feature_levels: int = 4
+    # BEV / transformer
+    embed_dims: int = 256
+    bev_h: int = 200
+    bev_w: int = 200
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    num_heads: int = 8
+    feedforward_channels: int = 512
+    ffn_dropout: float = 0.1
+    num_points_in_pillar: int = 4
+    sca_num_points: int = 8
+    tsa_num_points: int = 4
+    rotate_prev_bev: bool = True
+    use_shift: bool = True
+    use_can_bus: bool = True
+    rotate_center: Tuple[float, float] = (100.0, 100.0)
+    # head
+    num_query: int = 900
+    num_classes: int = 10
+    code_size: int = 10
+    code_weights: Tuple[float, ...] = (
+        1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2,
+    )
+    num_reg_fcs: int = 2
+    pc_range: Tuple[float, ...] = PC_RANGE
+    post_center_range: Tuple[float, ...] = (
+        -61.2, -61.2, -10.0, 61.2, 61.2, 10.0,
+    )
+    max_num: int = 300  # NMS-free decode top-k
+    sync_cls_avg_factor: bool = True
+    # losses (FocalLoss gamma/alpha, weights; `bevformer_base.py:143-150`)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    cls_loss_weight: float = 2.0
+    bbox_loss_weight: float = 0.25
+    # GroupDETR (V2)
+    group_detr: int = 1
+    # model behaviour
+    use_grid_mask: bool = True
+    video_test_mode: bool = True
+    # compute dtype for the network ('float32' | 'bfloat16')
+    dtype: str = "float32"
+    # training max GT boxes per sample (static padding for Hungarian)
+    max_gt: int = 320
+
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+
+    @property
+    def grid_length(self) -> Tuple[float, float]:
+        real_h = self.pc_range[4] - self.pc_range[1]
+        real_w = self.pc_range[3] - self.pc_range[0]
+        return (real_h / self.bev_h, real_w / self.bev_w)
+
+    def replace(self, **kw) -> "BEVFormerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+CONFIGS: Dict[str, BEVFormerConfig] = {}
+
+
+def register_config(cfg: BEVFormerConfig) -> BEVFormerConfig:
+    CONFIGS[cfg.name] = cfg
+    return cfg
+
+
+def get_config(name: str, **overrides) -> BEVFormerConfig:
+    cfg = CONFIGS[name]
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+# ---------------------------------------------------------------------------
+# Model zoo presets (field values match the reference configs 1:1)
+# ---------------------------------------------------------------------------
+
+# projects/configs/bevformer/bevformer_base.py
+register_config(BEVFormerConfig(name="bevformer_base"))
+
+# projects/configs/bevformer/bevformer_small.py: R101-DCN caffe, C5 only,
+# 150x150 BEV, 3 encoder layers, x0.8 input, queue 3
+register_config(
+    BEVFormerConfig(
+        name="bevformer_small",
+        backbone_out_indices=(3,),
+        neck_in_channels=(2048,),
+        num_feature_levels=1,
+        bev_h=150,
+        bev_w=150,
+        encoder_layers=3,
+        data=DataConfig(scale=0.8, queue_length=3),
+    )
+)
+
+# projects/configs/bevformer/bevformer_tiny.py: R50 pytorch-style (no DCN),
+# C5 only, 50x50 BEV, 3 encoder layers, x0.5 input, torchvision RGB norm
+register_config(
+    BEVFormerConfig(
+        name="bevformer_tiny",
+        backbone_depth=50,
+        backbone_out_indices=(3,),
+        backbone_dcn_stages=(),
+        backbone_style="pytorch",
+        neck_in_channels=(2048,),
+        num_feature_levels=1,
+        bev_h=50,
+        bev_w=50,
+        encoder_layers=3,
+        data=DataConfig(
+            scale=0.5,
+            mean=(123.675, 116.28, 103.53),
+            std=(58.395, 57.12, 57.375),
+            to_rgb=True,
+            queue_length=3,
+        ),
+    )
+)
+
+# projects/configs/bevformer_fp16/bevformer_tiny_fp16.py: tiny in mixed
+# precision -> bf16 on TPU (no loss scaling needed)
+register_config(
+    CONFIGS["bevformer_tiny"].replace(name="bevformer_tiny_fp16", dtype="bfloat16")
+)
+
+
+def apply_overrides(cfg: BEVFormerConfig, options: Dict[str, str]):
+    """CLI --cfg-options key=val (dots descend into data./optim.)."""
+    import ast
+
+    updates: Dict[str, object] = {}
+    sub: Dict[str, Dict[str, object]] = {"data": {}, "optim": {}}
+    for key, val in options.items():
+        try:
+            pval = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pval = val
+        if "." in key:
+            head, rest = key.split(".", 1)
+            if head in sub:
+                sub[head][rest] = pval
+                continue
+        updates[key] = pval
+    if sub["data"]:
+        updates["data"] = dataclasses.replace(cfg.data, **sub["data"])
+    if sub["optim"]:
+        updates["optim"] = dataclasses.replace(cfg.optim, **sub["optim"])
+    return cfg.replace(**updates)

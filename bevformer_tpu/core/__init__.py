@@ -1,3 +1,3 @@
-from bevformer_tpu.core import boxes, geometry
+from bevformer_tpu.core import assigner, boxes, coder, geometry, losses
 
-__all__ = ["boxes", "geometry"]
+__all__ = ["assigner", "boxes", "coder", "geometry", "losses"]

@@ -1,0 +1,271 @@
+"""Self-contained nuScenes detection metrics (NDS / mAP / TP errors).
+
+Faithful numpy implementation of the nuScenes devkit detection evaluation
+used by the reference (`datasets/nuscnes_eval.py:507-570` wraps the devkit;
+the devkit itself is pure python). Needed because nuscenes-devkit may be
+absent; when it is installed, `tools/test.py` can still emit the standard
+submission JSON for official evaluation.
+
+Algorithm (devkit `detection/algo.py` semantics):
+  * per (class, dist_threshold in {0.5, 1, 2, 4} m): sort all predictions by
+    score desc, greedy-match each to the nearest unmatched GT of that class
+    in the same sample by BEV center distance;
+  * AP = area of the 101-point interpolated precision-recall curve above
+    precision 0.1 and recall 0.1, normalized by 0.9^2;
+  * TP errors (ATE trans, ASE scale, AOE orient, AVE vel, AAE attr) are
+    cumulative means over TPs at dist 2.0 m, averaged over the recall range
+    [0.1, max_recall];
+  * NDS = (5 * mAP + sum(1 - min(1, err))) / 10.
+
+Boxes are 9-dim (x, y, z_gravity, w, l, h, yaw, vx, vy) in the per-sample
+lidar frame; center distances are frame-invariant so evaluating in lidar
+coordinates is equivalent to the devkit's global-frame evaluation.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from bevformer_tpu.core.boxes import CLASS_NAMES
+
+DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_METRICS = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+# devkit: barriers have no velocity/attribute; cones neither
+NO_VEL_CLASSES = {"barrier", "traffic_cone"}
+NO_ATTR_CLASSES = {"barrier", "traffic_cone"}
+# devkit caps orientation error at pi/2 ("period" of pi) for barriers
+BARRIER_YAW_PERIOD = {"barrier": np.pi}
+
+ERR_NAME_MAPPING = {
+    "trans_err": "mATE",
+    "scale_err": "mASE",
+    "orient_err": "mAOE",
+    "vel_err": "mAVE",
+    "attr_err": "mAAE",
+}
+
+
+def _yaw_diff(a: float, b: float, period: float = 2 * np.pi) -> float:
+    d = (a - b) % period
+    if d > period / 2:
+        d = period - d
+    return abs(d)
+
+
+def _scale_iou(gt: np.ndarray, pred: np.ndarray) -> float:
+    """Size-aligned 3D IoU (devkit scale_iou): boxes centered + axis aligned."""
+    minima = np.minimum(gt[3:6], pred[3:6])
+    inter = float(np.prod(minima))
+    union = float(np.prod(gt[3:6]) + np.prod(pred[3:6]) - inter)
+    return inter / max(union, 1e-12)
+
+
+def accumulate_class(
+    gts: Dict[str, np.ndarray],
+    preds: List[Dict],
+    dist_th: float,
+    with_tp: bool,
+    yaw_period: float,
+    use_vel: bool,
+):
+    """gts: sample_token -> [G, 9]; preds: list of dicts with sample_token,
+    box [9], score. Returns (precision, recall, conf at 101 recall points,
+    tp error curves)."""
+    npos = sum(len(v) for v in gts.values())
+    if npos == 0:
+        return None
+
+    preds = sorted(preds, key=lambda d: -d["score"])
+    taken = defaultdict(set)
+    tp, fp = [], []
+    match_err = {k: [] for k in TP_METRICS}
+    for p in preds:
+        g = gts.get(p["token"])
+        best, best_d = None, float("inf")
+        if g is not None and len(g):
+            d = np.linalg.norm(g[:, :2] - p["box"][:2][None], axis=1)
+            for j in np.argsort(d):
+                if j in taken[p["token"]]:
+                    continue
+                best, best_d = j, d[j]
+                break
+        if best is not None and best_d < dist_th:
+            taken[p["token"]].add(best)
+            tp.append(1.0)
+            fp.append(0.0)
+            if with_tp:
+                gb = g[best]
+                pb = p["box"]
+                match_err["trans_err"].append(float(best_d))
+                match_err["scale_err"].append(1.0 - _scale_iou(gb, pb))
+                match_err["orient_err"].append(
+                    _yaw_diff(gb[6], pb[6], period=yaw_period)
+                )
+                match_err["vel_err"].append(
+                    float(np.linalg.norm(gb[7:9] - pb[7:9])) if use_vel else 0.0
+                )
+                match_err["attr_err"].append(
+                    1.0 - p.get("attr_correct", 0.0)
+                )
+        else:
+            tp.append(0.0)
+            fp.append(1.0)
+
+    if not tp:
+        return dict(
+            precision=np.zeros(101),
+            recall=np.linspace(0, 1, 101),
+            tp_errors={k: None for k in TP_METRICS},
+            max_recall=0.0,
+        )
+
+    tp = np.cumsum(tp)
+    fp = np.cumsum(fp)
+    prec = tp / np.maximum(tp + fp, 1e-12)
+    rec = tp / npos
+
+    rec_interp = np.linspace(0, 1, 101)
+    prec_101 = np.interp(rec_interp, rec, prec, right=0)
+
+    out_err = {}
+    if with_tp:
+        for k in TP_METRICS:
+            vals = np.array(match_err[k])
+            if len(vals) == 0:
+                out_err[k] = None
+            else:
+                cum = np.cumsum(vals) / (np.arange(len(vals)) + 1)
+                # devkit interpolates the cummean over the recall axis of TPs
+                tp_rec = np.cumsum(np.ones(len(vals))) / npos
+                out_err[k] = np.interp(
+                    rec_interp, tp_rec, cum, right=cum[-1] if len(cum) else 1.0
+                )
+    return dict(
+        precision=prec_101,
+        recall=rec_interp,
+        tp_errors=out_err if with_tp else {k: None for k in TP_METRICS},
+        max_recall=float(rec[-1]),
+    )
+
+
+def calc_ap(precision_101: np.ndarray, min_recall=0.1, min_precision=0.1):
+    prec = precision_101.copy()
+    prec = prec[int(min_recall * 100) + 1 :]  # devkit: round(100*min_recall)+1
+    prec -= min_precision
+    prec[prec < 0] = 0
+    return float(prec.sum()) / len(prec) / (1.0 - min_precision)
+
+
+def calc_tp(md, min_recall=0.1) -> float:
+    if md is None:
+        return 1.0
+    first = int(min_recall * 100) + 1
+    last = int(round(md["max_recall"] * 100))  # devkit uses max_recall_ind
+    if last < first:
+        return 1.0
+    curve = md["_tp_curve"]
+    return float(np.mean(curve[first : last + 1]))
+
+
+def evaluate_detections(
+    results: Sequence[Dict],
+    gt_by_token: Dict[str, Dict[str, np.ndarray]],
+    class_names: Sequence[str] = CLASS_NAMES,
+    verbose: bool = False,
+) -> Dict:
+    """results: per-sample dicts {token, boxes_3d [N,9] (bottom z),
+    scores_3d, labels_3d}; gt_by_token: token -> {boxes [G,9] bottom z,
+    labels [G]}. Returns the devkit-style metrics dict (NDS, mAP, per-class
+    APs, TP errors)."""
+    # convert to gravity-center z for distance/scale parity with devkit
+    def to_gravity(b):
+        b = np.array(b, np.float64)
+        if len(b):
+            b[:, 2] += 0.5 * b[:, 5]
+        return b
+
+    preds_by_class: Dict[int, List[Dict]] = defaultdict(list)
+    for r in results:
+        boxes = to_gravity(r["boxes_3d"])
+        for b, s, l in zip(boxes, r["scores_3d"], r["labels_3d"]):
+            preds_by_class[int(l)].append(
+                dict(token=r["token"], box=b, score=float(s))
+            )
+
+    gts_by_class: Dict[int, Dict[str, np.ndarray]] = defaultdict(dict)
+    for token, g in gt_by_token.items():
+        boxes = to_gravity(g["boxes"])
+        labels = np.asarray(g["labels"])
+        for ci in range(len(class_names)):
+            sel = boxes[labels == ci]
+            if len(sel):
+                gts_by_class[ci][token] = sel
+
+    label_aps: Dict[str, Dict[float, float]] = {}
+    label_tp: Dict[str, Dict[str, float]] = {}
+    for ci, cname in enumerate(class_names):
+        gts = gts_by_class.get(ci, {})
+        preds = preds_by_class.get(ci, [])
+        label_aps[cname] = {}
+        label_tp[cname] = {}
+        yaw_period = BARRIER_YAW_PERIOD.get(cname, 2 * np.pi)
+        use_vel = cname not in NO_VEL_CLASSES
+        for th in DIST_THRESHOLDS:
+            md = accumulate_class(
+                gts, preds, th, with_tp=(th == 2.0), yaw_period=yaw_period,
+                use_vel=use_vel,
+            )
+            if md is None:
+                label_aps[cname][th] = float("nan")
+                continue
+            label_aps[cname][th] = calc_ap(md["precision"])
+            if th == 2.0:
+                for k in TP_METRICS:
+                    if (k == "vel_err" and not use_vel) or (
+                        k == "attr_err" and cname in NO_ATTR_CLASSES
+                    ):
+                        label_tp[cname][k] = float("nan")
+                        continue
+                    curve = md["tp_errors"].get(k)
+                    if curve is None:
+                        label_tp[cname][k] = 1.0
+                    else:
+                        label_tp[cname][k] = calc_tp(
+                            {"max_recall": md["max_recall"], "_tp_curve": curve}
+                        )
+
+    aps = [
+        v
+        for c in label_aps.values()
+        for v in c.values()
+        if not np.isnan(v)
+    ]
+    mean_ap = float(np.mean(aps)) if aps else 0.0
+    tp_errors = {}
+    for k in TP_METRICS:
+        vals = [
+            label_tp[c][k]
+            for c in label_tp
+            if k in label_tp[c] and not np.isnan(label_tp[c][k])
+        ]
+        tp_errors[k] = float(np.mean(vals)) if vals else 1.0
+
+    nds = (
+        5.0 * mean_ap + sum(1.0 - min(1.0, tp_errors[k]) for k in TP_METRICS)
+    ) / 10.0
+
+    metrics = dict(
+        mean_ap=mean_ap,
+        nd_score=float(nds),
+        label_aps=label_aps,
+        label_tp_errors=label_tp,
+        tp_errors=tp_errors,
+    )
+    if verbose:
+        print(f"mAP: {mean_ap:.4f}  NDS: {nds:.4f}")
+        for k, v in tp_errors.items():
+            print(f"  {ERR_NAME_MAPPING[k]}: {v:.4f}")
+    return metrics

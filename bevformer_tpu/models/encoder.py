@@ -1,0 +1,195 @@
+"""BEVFormer encoder: stacked TSA + SCA layers over the BEV grid.
+
+Mirrors `modules/encoder.py:24-406` with static shapes. The hybrid
+(prev/current) reference-point trick and the queue-2 temporal attention are
+kept; prev-BEV presence is a traced boolean so a single compiled program
+serves both the first frame and the video steady state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bevformer_tpu.core import geometry
+from bevformer_tpu.models.attention import (
+    SpatialCrossAttention,
+    TemporalSelfAttention,
+)
+from bevformer_tpu.models.layers import FFN
+from bevformer_tpu.runtime.mesh import maybe_shard
+
+
+class BEVFormerLayer(nn.Module):
+    """operation_order = (self_attn, norm, cross_attn, norm, ffn, norm)
+    (`encoder.py:283-285`)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 512
+    ffn_dropout: float = 0.1
+    num_cams: int = 6
+    num_levels: int = 4  # feature levels for SCA
+    sca_num_points: int = 8
+    tsa_num_points: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [bs, q, e]
+        value: jnp.ndarray,  # [bs, cams, k, e]
+        bev_pos: jnp.ndarray,  # [bs, q, e]
+        value_queue: jnp.ndarray,  # [bs, 2, q, e] TSA value (prev, initial)
+        hybrid_ref_2d: jnp.ndarray,  # [bs, 2, q, 1, 2]
+        reference_points_cam: jnp.ndarray,
+        bev_mask: jnp.ndarray,
+        spatial_shapes: Tuple[Tuple[int, int], ...],
+        bev_h: int,
+        bev_w: int,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        query = TemporalSelfAttention(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_points=self.tsa_num_points,
+            dtype=self.dtype,
+            name="self_attn",
+        )(
+            query,
+            value_queue,
+            bev_pos,
+            hybrid_ref_2d,
+            bev_h,
+            bev_w,
+            deterministic=deterministic,
+        )
+        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
+        query = SpatialCrossAttention(
+            embed_dims=self.embed_dims,
+            num_cams=self.num_cams,
+            num_heads=self.num_heads,
+            num_levels=self.num_levels,
+            num_points=self.sca_num_points,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(
+            query,
+            value,
+            None,  # query_pos is None for SCA (`encoder.py:383-397`)
+            reference_points_cam,
+            bev_mask,
+            spatial_shapes,
+            deterministic=deterministic,
+        )
+        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
+        query = FFN(
+            embed_dims=self.embed_dims,
+            feedforward_channels=self.feedforward_channels,
+            dropout=self.ffn_dropout,
+            dtype=self.dtype,
+            name="ffn",
+        )(query, deterministic=deterministic)
+        query = nn.LayerNorm(dtype=self.dtype, name="norm3")(query)
+        return query
+
+
+class BEVFormerEncoder(nn.Module):
+    """`encoder.py:24-239`. Computes reference points + camera projections
+    once, then runs `num_layers` BEVFormerLayers."""
+
+    num_layers: int = 6
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 512
+    ffn_dropout: float = 0.1
+    num_cams: int = 6
+    num_levels: int = 4
+    num_points_in_pillar: int = 4
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        bev_query: jnp.ndarray,  # [bs, q, e]
+        value: jnp.ndarray,  # [bs, cams, k, e]
+        bev_pos: jnp.ndarray,  # [bs, q, e]
+        prev_bev: Optional[jnp.ndarray],  # [bs, q, e] or None
+        has_prev: jnp.ndarray,  # [bs] bool (traced)
+        shift: jnp.ndarray,  # [bs, 2]
+        lidar2img: jnp.ndarray,  # [bs, cams, 4, 4]
+        img_shape: Tuple[int, int],
+        spatial_shapes: Tuple[Tuple[int, int], ...],
+        bev_h: int,
+        bev_w: int,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        bs, q, e = bev_query.shape
+
+        ref_3d = geometry.reference_points_3d(
+            bev_h,
+            bev_w,
+            self.pc_range[5] - self.pc_range[2],
+            self.num_points_in_pillar,
+            bs=bs,
+        )
+        ref_2d = geometry.reference_points_2d(bev_h, bev_w, bs=bs)
+
+        reference_points_cam, bev_mask = geometry.point_sampling(
+            ref_3d, self.pc_range, lidar2img, img_shape
+        )
+
+        # shifted prev refs + current refs -> queue axis (`encoder.py:196-212`)
+        shift_ref_2d = ref_2d + shift[:, None, None, :]
+        has = has_prev.reshape(bs, 1, 1, 1).astype(ref_2d.dtype)
+        prev_ref = has * shift_ref_2d + (1.0 - has) * ref_2d
+        hybrid_ref_2d = jnp.stack([prev_ref, ref_2d], axis=1)  # [bs,2,q,1,2]
+
+        # TSA value queue semantics (`encoder.py:204-212` +
+        # `temporal_self_attention.py:177-180`):
+        #   with prev   : (prev_bev, initial bev_query), fixed for all layers
+        #   without prev: (layer input, layer input), evolving per layer
+        hasq = has_prev.reshape(bs, 1, 1).astype(bev_query.dtype)
+        initial_query = bev_query
+
+        # sequence-parallel: shard the BEV query axis over the 'sp' mesh
+        # axis; camera value stays replicated (each query samples
+        # independently -> no communication inside SCA/TSA)
+        output = maybe_shard(bev_query, "dp", "sp", None)
+        for i in range(self.num_layers):
+            if prev_bev is not None:
+                slot0 = hasq * prev_bev.astype(output.dtype) + (1.0 - hasq) * output
+                slot1 = hasq * initial_query + (1.0 - hasq) * output
+            else:
+                slot0 = output
+                slot1 = output
+            value_queue = jnp.stack([slot0, slot1], axis=1)
+            output = BEVFormerLayer(
+                embed_dims=self.embed_dims,
+                num_heads=self.num_heads,
+                feedforward_channels=self.feedforward_channels,
+                ffn_dropout=self.ffn_dropout,
+                num_cams=self.num_cams,
+                num_levels=self.num_levels,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(
+                output,
+                value,
+                bev_pos,
+                value_queue,
+                hybrid_ref_2d,
+                reference_points_cam,
+                bev_mask,
+                spatial_shapes,
+                bev_h,
+                bev_w,
+                deterministic=deterministic,
+            )
+            output = maybe_shard(output, "dp", "sp", None)
+        return output

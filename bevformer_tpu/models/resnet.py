@@ -1,0 +1,252 @@
+"""ResNet backbone (flax, NHWC) with frozen BatchNorm and optional DCNv2.
+
+Replaces the mmdet `ResNet` the reference builds from config
+(`projects/configs/bevformer/bevformer_base.py:45-60`): depth 50/101,
+style='pytorch' (stride-2 in the 3x3 conv), `norm_eval=True` + BN
+`requires_grad=False` — i.e. BatchNorm is ALWAYS a frozen affine transform,
+modeled here as `FrozenBN` constants (converted from torchvision / reference
+checkpoints). DCNv2 (stages 3-4 of the R101 configs, `bevformer_base.py:
+52-53`) is implemented as bilinear-gather im2col + matmul — the same
+sampling primitive as the deformable attention, MXU-friendly.
+
+Stage freezing (`frozen_stages=1`) is an optimizer concern in JAX; see
+`runtime/optim.py` param masks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ARCH_SETTINGS = {
+    10: (1, 1, 1, 1),  # toy depth for tests / multi-chip dryrun
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
+
+
+class FrozenBN(nn.Module):
+    """BatchNorm with all statistics and affine params frozen (constants)."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        # fold into a single multiply-add (XLA fuses this into the conv)
+        mul = scale * jax.lax.rsqrt(var + self.eps)
+        add = bias - mean * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
+class ModulatedDeformConv(nn.Module):
+    """DCNv2: 3x3 modulated deformable convolution.
+
+    offset/mask predicted by a regular 3x3 conv (27 = 18 offsets + 9 masks),
+    sampling via bilinear gather (zeros padding), then a dense matmul with
+    the conv weight — deformable im2col, the reference's mmcv CUDA `DCNv2`
+    semantics.
+    """
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [b, h, w, c]
+        b, h, w, c = x.shape
+        k = 3
+        om = nn.Conv(
+            3 * k * k,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv_offset",
+        )(x.astype(jnp.float32))
+        oh, ow = om.shape[1], om.shape[2]
+        # torch layout: [18 offsets (y,x interleaved per tap), 9 masks]
+        offs = om[..., : 2 * k * k].reshape(b, oh, ow, k * k, 2)
+        off_y, off_x = offs[..., 0], offs[..., 1]
+        mask = jax.nn.sigmoid(om[..., 2 * k * k :])  # [b, oh, ow, 9]
+
+        # base sampling grid per output position and tap
+        ys = jnp.arange(oh, dtype=jnp.float32) * self.stride - 1.0
+        xs = jnp.arange(ow, dtype=jnp.float32) * self.stride - 1.0
+        ky, kx = jnp.meshgrid(
+            jnp.arange(k, dtype=jnp.float32),
+            jnp.arange(k, dtype=jnp.float32),
+            indexing="ij",
+        )
+        ky = ky.reshape(-1)
+        kx = kx.reshape(-1)
+        py = ys[None, :, None, None] + ky[None, None, None, :] + off_y
+        px = xs[None, None, :, None] + kx[None, None, None, :] + off_x
+        # NOTE: broadcasting—py: [b, oh, 1->ow? ] fix shapes below
+        py = jnp.broadcast_to(py, (b, oh, ow, k * k))
+        px = jnp.broadcast_to(px, (b, oh, ow, k * k))
+
+        sampled = _bilinear_gather(x.astype(jnp.float32), py, px)  # [b,oh,ow,9,c]
+        sampled = sampled * mask[..., None]
+        sampled = sampled.reshape(b, oh, ow, k * k * c)
+
+        weight = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k * k * c, self.features),
+        )
+        out = jnp.einsum(
+            "bhwi,io->bhwo", sampled, weight.astype(jnp.float32)
+        )
+        return out.astype(self.dtype)
+
+
+def _bilinear_gather(img, py, px):
+    """img [b,h,w,c]; py/px [b,oh,ow,t] pixel coords -> [b,oh,ow,t,c]."""
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ty = py - y0
+    tx = px - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    out = 0.0
+    for dy, dx, wgt in (
+        (0, 0, (1 - ty) * (1 - tx)),
+        (0, 1, (1 - ty) * tx),
+        (1, 0, ty * (1 - tx)),
+        (1, 1, ty * tx),
+    ):
+        yy = y0 + dy
+        xx = x0 + dx
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        g = jnp.take_along_axis(
+            flat[:, :, None, :],
+            idx.reshape(b, -1)[:, :, None, None],
+            axis=1,
+        ).reshape(*idx.shape, c)
+        out = out + g * (wgt * valid.astype(jnp.float32))[..., None]
+    return out
+
+
+class Bottleneck(nn.Module):
+    planes: int  # bottleneck width; out channels = planes * 4
+    stride: int = 1
+    downsample: bool = False
+    use_dcn: bool = False
+    style: str = "pytorch"  # 'pytorch': stride in 3x3; 'caffe': stride in 1x1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        s1 = self.stride if self.style == "caffe" else 1
+        s2 = 1 if self.style == "caffe" else self.stride
+        out = nn.Conv(
+            self.planes,
+            (1, 1),
+            strides=(s1, s1),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        out = FrozenBN(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+
+        if self.use_dcn:
+            out = ModulatedDeformConv(
+                self.planes, stride=s2, dtype=self.dtype, name="conv2"
+            )(out)
+        else:
+            out = nn.Conv(
+                self.planes,
+                (3, 3),
+                strides=(s2, s2),
+                padding=[(1, 1), (1, 1)],
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv2",
+            )(out)
+        out = FrozenBN(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(
+            self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(out)
+        out = FrozenBN(self.planes * 4, name="bn3")(out)
+
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBN(self.planes * 4, name="downsample_bn")(identity)
+
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101, NHWC, outputs the stages in `out_indices` (0-based
+    stage index as in mmdet: 0->C2 .. 3->C5)."""
+
+    depth: int = 50
+    out_indices: Tuple[int, ...] = (3,)
+    dcn_stages: Tuple[int, ...] = ()  # e.g. (2, 3) for R101-DCN
+    style: str = "pytorch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [b, h, w, 3]
+        blocks = ARCH_SETTINGS[self.depth]
+        out = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            dtype=self.dtype,
+            name="stem_conv",
+        )(x)
+        out = FrozenBN(64, name="stem_bn")(out)
+        out = nn.relu(out)
+        out = nn.max_pool(
+            out, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        outputs = []
+        planes = 64
+        for stage, num_blocks in enumerate(blocks):
+            stride = 1 if stage == 0 else 2
+            use_dcn = stage in self.dcn_stages
+            for blk in range(num_blocks):
+                out = Bottleneck(
+                    planes=planes,
+                    stride=stride if blk == 0 else 1,
+                    downsample=(blk == 0),
+                    use_dcn=use_dcn,
+                    style=self.style,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{blk}",
+                )(out)
+            if stage in self.out_indices:
+                outputs.append(out)
+            planes *= 2
+        return outputs

@@ -1,0 +1,104 @@
+"""Checkpoint conversion round-trip + structural match with model.init."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.test_model import mini_config
+
+
+def _init_params(cfg):
+    from bevformer_tpu.models import BEVFormer
+
+    model = BEVFormer(cfg=cfg)
+    bs, cams = 1, 6
+    h, w = cfg.data.img_size
+    images = jnp.zeros((bs, cams, h, w, 3), jnp.float32)
+    can_bus = jnp.zeros((bs, 18), jnp.float32)
+    l2i = jnp.broadcast_to(jnp.eye(4), (bs, cams, 4, 4))
+    prev = jnp.zeros((bs, cfg.bev_h * cfg.bev_w, cfg.embed_dims))
+    has = jnp.zeros((bs,), bool)
+    return model, jax.eval_shape(
+        lambda: BEVFormer(cfg=cfg).init(
+            jax.random.PRNGKey(0), images, can_bus, l2i, prev, has
+        )
+    )
+
+
+def _concretize(tree, seed=0):
+    leaves, treedef = jax.tree.flatten(tree)
+    rng = np.random.RandomState(seed)
+    out = [jnp.asarray(rng.randn(*l.shape).astype(np.float32)) for l in leaves]
+    return jax.tree.unflatten(treedef, out)
+
+
+def _flat_shapes(tree):
+    return {
+        "/".join(str(getattr(k, "key", k)) for k in path): v.shape
+        for path, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_roundtrip_and_structure():
+    from bevformer_tpu.runtime.checkpoint import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+
+    cfg = mini_config()
+    model, shapes = _init_params(cfg)
+    params = _concretize(shapes)
+
+    sd = export_reference_state_dict(params, cfg)
+    # spot-check the reference key naming (verified against
+    # fundamentalvision/BEVFormer checkpoints' state_dict layout)
+    for key in (
+        "img_backbone.conv1.weight",
+        "img_backbone.layer1.0.downsample.0.weight",
+        "img_backbone.bn1.running_mean",
+        "img_neck.lateral_convs.0.conv.weight",
+        "pts_bbox_head.bev_embedding.weight",
+        "pts_bbox_head.query_embedding.weight",
+        "pts_bbox_head.cls_branches.0.6.bias",
+        "pts_bbox_head.reg_branches.1.4.weight",
+        "pts_bbox_head.transformer.level_embeds",
+        "pts_bbox_head.transformer.can_bus_mlp.norm.weight",
+        "pts_bbox_head.transformer.encoder.layers.0.attentions.0.sampling_offsets.weight",
+        "pts_bbox_head.transformer.encoder.layers.0.attentions.1.deformable_attention.value_proj.weight",
+        "pts_bbox_head.transformer.decoder.layers.0.attentions.0.attn.in_proj_weight",
+        "pts_bbox_head.transformer.decoder.layers.1.attentions.1.output_proj.bias",
+        "pts_bbox_head.transformer.decoder.layers.0.ffns.0.layers.0.0.weight",
+    ):
+        assert key in sd, key
+
+    back = convert_reference_state_dict(sd, cfg)
+    got = _flat_shapes(back)
+    want = _flat_shapes(params["params"])
+    missing = set(want) - set(got)
+    extra = set(got) - set(want)
+    assert not missing, f"converter missing {sorted(missing)[:10]}"
+    assert not extra, f"converter extra {sorted(extra)[:10]}"
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    # values round-trip exactly
+    for path, v in jax.tree_util.tree_flatten_with_path(params["params"])[0]:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        node = back
+        for part in key.split("/"):
+            node = node[part]
+        np.testing.assert_array_equal(np.asarray(node), np.asarray(v)), key
+
+
+def test_roundtrip_with_dcn():
+    from bevformer_tpu.runtime.checkpoint import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+
+    cfg = mini_config(backbone_dcn_stages=(2, 3), backbone_style="caffe")
+    model, shapes = _init_params(cfg)
+    params = _concretize(shapes)
+    sd = export_reference_state_dict(params, cfg)
+    assert "img_backbone.layer3.0.conv2.conv_offset.weight" in sd
+    back = convert_reference_state_dict(sd, cfg)
+    assert _flat_shapes(back) == _flat_shapes(params["params"])

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""FPS benchmark CLI — mirrors `tools/analysis_tools/benchmark.py`.
+
+Measures steady-state single-chip inference throughput of a config with the
+video loop chained inside jit (see bench.py for why: the axon relay makes
+block_until_ready unreliable, so timing uses a host fetch on a scan chain).
+
+  python tools/benchmark.py bevformer_tiny [--samples 20] [--dtype bfloat16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--samples", type=int, default=20)
+    p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"])
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bevformer_tpu.configs import get_config
+    from bevformer_tpu.configs.config import apply_overrides
+    from bevformer_tpu.models import BEVFormer
+    from __graft_entry__ import _example_inputs
+
+    cfg = get_config(args.config)
+    if args.cfg_options:
+        cfg = apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))
+    if args.dtype:
+        cfg = cfg.replace(dtype=args.dtype)
+
+    model = BEVFormer(cfg=cfg)
+    images, can_bus, lidar2img, prev_bev, has_prev = _example_inputs(cfg)
+    t0 = time.time()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), images, can_bus, lidar2img, prev_bev, has_prev
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"init {time.time() - t0:.1f}s; {n_params / 1e6:.1f}M params")
+    has_prev = jnp.ones_like(has_prev)
+
+    def step(pb, _):
+        out = model.apply(params, images, can_bus, lidar2img, pb, has_prev)
+        return out["bev_embed"].astype(jnp.float32), out["all_cls_scores"].sum()
+
+    n = args.samples
+    loop = jax.jit(lambda pb: jax.lax.scan(step, pb, None, length=n)[1].sum())
+    t0 = time.time()
+    float(loop(prev_bev))
+    print(f"compile+warmup {time.time() - t0:.1f}s")
+    t0 = time.time()
+    float(loop(prev_bev))
+    dt = (time.time() - t0) / n
+    print(
+        f"{args.config} dtype={cfg.dtype}: {dt * 1e3:.2f} ms/frame "
+        f"-> {1.0 / dt:.2f} FPS (1 chip, 6-cam video inference)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Evaluation CLI — mirrors the reference `tools/test.py`.
+
+Runs sequential video inference over the val split, evaluates NDS/mAP with
+the built-in nuScenes-protocol evaluator, and (optionally) writes the
+standard nuScenes submission JSON for official devkit evaluation.
+
+  python tools/test.py <config-name> --data-root DATA
+      [--checkpoint CKPT(.pth|orbax dir)] [--out results.json] [--eval bbox]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate BEVFormer-TPU")
+    p.add_argument("config")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out", default=None, help="write raw results json")
+    p.add_argument("--eval", default="bbox", help="'bbox' or 'none'")
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument(
+        "--format-only", action="store_true",
+        help="only write the nuScenes submission json",
+    )
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from bevformer_tpu.configs import get_config
+    from bevformer_tpu.configs.config import apply_overrides
+    from bevformer_tpu.core.boxes import CLASS_NAMES
+    from bevformer_tpu.core.evaluation import evaluate_detections
+    from bevformer_tpu.data.dataset import NuScenesTemporalDataset
+    from bevformer_tpu.models import BEVFormer
+    from bevformer_tpu.runtime import checkpoint as ckpt_lib
+    from bevformer_tpu.runtime.eval import VideoEvaluator
+
+    cfg = get_config(args.config)
+    if args.cfg_options:
+        cfg = apply_overrides(
+            cfg, dict(kv.split("=", 1) for kv in args.cfg_options)
+        )
+
+    ds = NuScenesTemporalDataset(
+        os.path.join(args.data_root, "nuscenes_infos_temporal_val.pkl"),
+        cfg,
+        test_mode=True,
+        data_root=args.data_root,
+    )
+    print(f"val dataset: {len(ds)} samples")
+
+    model = BEVFormer(cfg=cfg)
+    if args.checkpoint and args.checkpoint.endswith(".pth"):
+        params = ckpt_lib.convert_pth_checkpoint(args.checkpoint, cfg)
+        print(f"loaded reference weights {args.checkpoint}")
+    elif args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        with ocp.CheckpointManager(os.path.abspath(args.checkpoint)) as mgr:
+            step = mgr.latest_step()
+            restored = mgr.restore(step)
+        params = restored["params"]
+        print(f"loaded orbax checkpoint step {step}")
+    else:
+        print("WARNING: random weights (no --checkpoint)")
+        s = ds.get_test_sample(0)
+        import jax.numpy as jnp
+
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.asarray(s["images"])[None],
+            jnp.zeros((1, 18), jnp.float32),
+            jnp.asarray(s["lidar2img"])[None],
+            jnp.zeros((1, cfg.bev_h * cfg.bev_w, cfg.embed_dims), jnp.float32),
+            jnp.zeros((1,), bool),
+        )
+
+    evaluator = VideoEvaluator(model, params)
+    n = len(ds) if args.max_samples is None else min(len(ds), args.max_samples)
+    results = evaluator.run(ds, indices=range(n))
+
+    if args.out:
+        serial = [
+            {
+                "token": r["token"],
+                "boxes_3d": np.asarray(r["boxes_3d"]).tolist(),
+                "scores_3d": np.asarray(r["scores_3d"]).tolist(),
+                "labels_3d": np.asarray(r["labels_3d"]).tolist(),
+            }
+            for r in results
+        ]
+        with open(args.out, "w") as f:
+            json.dump(serial, f)
+        print(f"wrote {args.out}")
+
+    if args.format_only or args.eval == "bbox":
+        # build GT lookup from infos
+        gt_by_token = {}
+        for i in range(n):
+            info = ds.infos[i]
+            ann = ds._annotations(info)
+            boxes = ann["gt_boxes"].copy()
+            if len(boxes):
+                boxes[:, 2] -= 0.5 * boxes[:, 5]  # gravity -> bottom z
+            gt_by_token[info["token"]] = dict(
+                boxes=boxes, labels=ann["gt_labels"]
+            )
+        metrics = evaluate_detections(
+            results, gt_by_token, class_names=CLASS_NAMES, verbose=True
+        )
+        summary = {
+            "NDS": metrics["nd_score"],
+            "mAP": metrics["mean_ap"],
+            **{
+                k: v
+                for k, v in metrics["tp_errors"].items()
+            },
+        }
+        print(json.dumps(summary))
+        out_dir = os.path.dirname(args.out) if args.out else "."
+        with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
+            json.dump(metrics, f, default=float)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Training CLI — mirrors the reference `tools/train.py` surface.
+
+Usage:
+  python tools/train.py <config-name> --data-root DATA [--work-dir DIR]
+      [--resume-from CKPT] [--max-iters N] [--cfg-options k=v ...]
+
+Config names are the model-zoo presets (bevformer_tiny / small / base /
+tiny_fp16). Data root must contain nuscenes_infos_temporal_train.pkl (real
+converted nuScenes or `tools/create_data.py synth`).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train BEVFormer-TPU")
+    p.add_argument("config", help="config name (e.g. bevformer_tiny)")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None, help=".pth or orbax dir warm start")
+    p.add_argument("--max-iters", type=int, default=None, help="cap for smoke runs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    p.add_argument("--sp", type=int, default=1, help="BEV sequence-parallel size")
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--ckpt-interval-epochs", type=int, default=1)
+    p.add_argument(
+        "--cfg-options", nargs="*", default=[], help="key=val config overrides"
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bevformer_tpu.configs import get_config
+    from bevformer_tpu.configs.config import apply_overrides
+    from bevformer_tpu.data.dataset import NuScenesTemporalDataset
+    from bevformer_tpu.models import BEVFormer
+    from bevformer_tpu.runtime import checkpoint as ckpt_lib
+    from bevformer_tpu.runtime import mesh as mesh_lib
+    from bevformer_tpu.runtime import optim, train
+
+    cfg = get_config(args.config)
+    if args.cfg_options:
+        cfg = apply_overrides(
+            cfg, dict(kv.split("=", 1) for kv in args.cfg_options)
+        )
+    work_dir = args.work_dir or os.path.join("work_dirs", args.config)
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, "config.json"), "w") as f:
+        json.dump({"config": args.config, "overrides": args.cfg_options}, f)
+
+    ds = NuScenesTemporalDataset(
+        os.path.join(args.data_root, "nuscenes_infos_temporal_train.pkl"),
+        cfg,
+        data_root=args.data_root,
+        seed=args.seed,
+    )
+    print(f"dataset: {len(ds)} samples")
+
+    n_dev = len(jax.devices())
+    dp = args.dp or max(1, n_dev // args.sp)
+    mesh = mesh_lib.make_mesh(dp=dp, sp=args.sp)
+    global_bs = dp * cfg.optim.samples_per_gpu
+    steps_per_epoch = max(1, len(ds) // global_bs)
+    total_steps = steps_per_epoch * cfg.optim.total_epochs
+    if args.max_iters:
+        total_steps = min(total_steps, args.max_iters)
+    print(
+        f"mesh dp={dp} sp={args.sp}; global batch {global_bs}; "
+        f"{total_steps} steps"
+    )
+
+    model = BEVFormer(cfg=cfg)
+    rng = jax.random.PRNGKey(args.seed)
+
+    def collect_batch(step):
+        samples = []
+        while len(samples) < global_bs:
+            idx = int(
+                jax.random.randint(
+                    jax.random.fold_in(rng, step * 1000 + len(samples)),
+                    (),
+                    0,
+                    len(ds),
+                )
+            )
+            s = ds.get_train_sample(idx)
+            if s is not None:
+                samples.append(s)
+        return train.Batch(
+            images=np.stack([s["images"] for s in samples]),
+            can_bus=np.stack([s["can_bus"] for s in samples]),
+            lidar2img=np.stack([s["lidar2img"] for s in samples]),
+            prev_exists=np.stack([s["prev_exists"] for s in samples]),
+            gt_boxes=np.stack([s["gt_boxes"] for s in samples]),
+            gt_labels=np.stack([s["gt_labels"] for s in samples]),
+            num_gt=np.asarray([s["num_gt"] for s in samples], np.int32),
+        )
+
+    with mesh_lib.activate(mesh):
+        batch0 = mesh_lib.shard_batch(mesh, collect_batch(0))
+        state = train.init_state(model, _Placeholder(), rng, batch0)
+        if args.load_from and args.load_from.endswith(".pth"):
+            converted = ckpt_lib.convert_pth_checkpoint(args.load_from, cfg)
+            state = state._replace(
+                params={**state.params, "params": converted["params"]}
+            )
+            print(f"warm-started from {args.load_from}")
+        tx, sched = optim.make_optimizer(cfg.optim, state.params, total_steps)
+        state = train.TrainState(state.step, state.params, tx.init(state.params))
+        if args.resume_from:
+            state = ckpt_lib.restore_checkpoint(args.resume_from, state)
+            print(f"resumed from step {int(state.step)}")
+        step_fn = train.make_train_step(model, tx)
+
+        log_path = os.path.join(work_dir, "train_log.jsonl")
+        t_start = time.time()
+        start_step = int(state.step)
+        for step in range(start_step, total_steps):
+            batch = mesh_lib.shard_batch(mesh, collect_batch(step))
+            state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+            if step % args.log_interval == 0 or step == total_steps - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(
+                    step=step,
+                    lr=float(sched(step)),
+                    time=round(time.time() - t_start, 1),
+                )
+                print(json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in m.items()}))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(m) + "\n")
+            if (step + 1) % (steps_per_epoch * args.ckpt_interval_epochs) == 0 or (
+                step + 1
+            ) == total_steps:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(work_dir, "ckpts"), state, step + 1
+                )
+                print(f"saved checkpoint @ step {step + 1}")
+
+    print("done")
+
+
+class _Placeholder:
+    def init(self, params):
+        return ()
+
+    def update(self, grads, state, params=None):
+        return grads, state
+
+
+if __name__ == "__main__":
+    main()
