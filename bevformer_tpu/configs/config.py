@@ -12,6 +12,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
+
+
 PC_RANGE = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
 
 
@@ -119,6 +121,16 @@ class BEVFormerConfig:
     bbox_loss_weight: float = 0.25
     # GroupDETR (V2)
     group_detr: int = 1
+    # V2 (perspective-supervision recipe)
+    version: str = "v1"  # 'v1' | 'v2'
+    frames: Tuple[int, ...] = (0,)  # temporal frame offsets (V2)
+    num_fusion: int = 3
+    inter_channels: Optional[int] = None
+    backbone_norm: str = "frozen"  # 'frozen' (v1) | 'bn' (v2 SyncBN)
+    num_mono_levels: int = 0  # FPN levels for the mono (DD3D) head; 0 = off
+    mono_loss_weight: float = 1.0
+    bbox_loss: str = "l1"  # 'l1' (v1, w=0.25) | 'smooth_l1' (v2, w=0.75)
+    smooth_l1_beta: float = 1.0
     # model behaviour
     use_grid_mask: bool = True
     video_test_mode: bool = True
@@ -203,6 +215,50 @@ register_config(
 # precision -> bf16 on TPU (no loss scaling needed)
 register_config(
     CONFIGS["bevformer_tiny"].replace(name="bevformer_tiny_fp16", dtype="bfloat16")
+)
+
+# projects/configs/bevformerv2/bevformerv2-r50-t1-24ep.py: R50 trainable
+# SyncBN, 4 BEV levels (5 mono), GroupDETR-11, SmoothL1(0.75, beta=1),
+# single frame t1 = frames (0,). The crop (0,260,1600,900) -> 1600x640 input
+# with the discrete resize ladder is handled by the V2 data pipeline; the
+# base raw size here reflects the crop.
+register_config(
+    BEVFormerConfig(
+        name="bevformerv2-r50-t1",
+        version="v2",
+        backbone_depth=50,
+        backbone_out_indices=(1, 2, 3),
+        backbone_dcn_stages=(),
+        backbone_style="caffe",
+        backbone_norm="bn",
+        neck_in_channels=(512, 1024, 2048),
+        num_feature_levels=4,
+        num_mono_levels=5,
+        bev_h=200,
+        bev_w=200,
+        encoder_layers=6,
+        decoder_layers=6,
+        group_detr=11,
+        frames=(0,),
+        bbox_loss="smooth_l1",
+        smooth_l1_beta=1.0,
+        bbox_loss_weight=0.75,
+        video_test_mode=False,
+        data=DataConfig(raw_size=(640, 1600), queue_length=1),
+    )
+)
+
+# t2 / t8: multi-frame BEV fusion variants (`bevformerv2-r50-t2-24ep.py`,
+# `-t8`): frames (-1, 0) and (-7..0)
+register_config(
+    CONFIGS["bevformerv2-r50-t1"].replace(
+        name="bevformerv2-r50-t2", frames=(-1, 0)
+    )
+)
+register_config(
+    CONFIGS["bevformerv2-r50-t1"].replace(
+        name="bevformerv2-r50-t8", frames=tuple(range(-7, 1))
+    )
 )
 
 

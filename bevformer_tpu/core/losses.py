@@ -41,6 +41,12 @@ def sigmoid_focal_loss(
     return (bce * focal_weight).sum(-1)
 
 
+def smooth_l1(diff: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """mmdet SmoothL1Loss elementwise (V2 bbox loss, beta=1.0)."""
+    ad = jnp.abs(diff)
+    return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
+
+
 def single_layer_loss(
     cls_scores: jnp.ndarray,  # [B, Q, C]
     bbox_preds: jnp.ndarray,  # [B, Q, 10]
@@ -54,6 +60,8 @@ def single_layer_loss(
     bbox_loss_weight: float = 0.25,
     focal_alpha: float = 0.25,
     focal_gamma: float = 2.0,
+    bbox_loss: str = "l1",
+    smooth_l1_beta: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, q, c = cls_scores.shape
     assigned = hungarian_match(
@@ -101,7 +109,11 @@ def single_layer_loss(
         * code_weights[None, None, :]
     )
     tgt_norm = jnp.nan_to_num(tgt_norm, nan=0.0, posinf=0.0, neginf=0.0)
-    l1 = jnp.abs(bbox_preds.astype(jnp.float32) - tgt_norm) * w
+    diff = bbox_preds.astype(jnp.float32) - tgt_norm
+    if bbox_loss == "smooth_l1":
+        l1 = smooth_l1(diff, smooth_l1_beta) * w
+    else:
+        l1 = jnp.abs(diff) * w
     loss_bbox = l1.sum() / num_pos * bbox_loss_weight
 
     return jnp.nan_to_num(loss_cls), jnp.nan_to_num(loss_bbox)
@@ -121,6 +133,8 @@ def bevformer_loss(
     focal_gamma: float = 2.0,
     group_detr: int = 1,
     num_query: int = 900,
+    bbox_loss: str = "l1",
+    smooth_l1_beta: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     """Loss over all decoder layers; GroupDETR averages per-group matches
     (`bevformer_head.py:659-683`)."""
@@ -147,6 +161,8 @@ def bevformer_loss(
                 bbox_loss_weight=bbox_loss_weight,
                 focal_alpha=focal_alpha,
                 focal_gamma=focal_gamma,
+                bbox_loss=bbox_loss,
+                smooth_l1_beta=smooth_l1_beta,
             )
             lc_acc = lc_acc + lc / group_detr
             lb_acc = lb_acc + lb / group_detr

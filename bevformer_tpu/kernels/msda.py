@@ -121,6 +121,98 @@ def ms_deform_attn_jnp(
     return out.astype(value.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_patch(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Optimized XLA path: one 2x2-patch gather per level.
+
+    TPU row gathers cost ~10-30 ns *per row*; the naive formulation issues
+    4 corner gathers per (level) which dominated the whole model (~100 ms of
+    a 111 ms bevformer_tiny forward). Gathering the 2x2 bilinear patch from
+    a zero-padded value map in a single `lax.gather` per level cuts the
+    gather count 4x while keeping exact grid_sample zeros-padding semantics
+    (the pad ring provides the out-of-bounds zeros; fully out-of-range
+    corners are zeroed through their weights).
+
+    Same contract as `ms_deform_attn_jnp` (validated to agree in tests).
+    """
+    b, k, h, d = value.shape
+    _, q, _, l, p, _ = sampling_locations.shape
+    starts, sizes, total = _level_bounds(spatial_shapes)
+    assert total == k, f"spatial_shapes {spatial_shapes} != num_keys {k}"
+
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+    val = jnp.swapaxes(value, 1, 2).reshape(b * h, k, d)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    out = jnp.zeros((b * h, q, d), jnp.float32)
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        val_l = jax.lax.dynamic_slice_in_dim(val, starts[lvl], sizes[lvl], 1)
+        val_l = val_l.reshape(b * h, hh, ww, d).astype(jnp.float32)
+        # 1-pixel zero ring = grid_sample zeros padding
+        val_pad = jnp.pad(val_l, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+        x = loc[:, :, :, lvl, :, 0] * ww - 0.5  # [B, Q, H, P]
+        y = loc[:, :, :, lvl, :, 1] * hh - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # clamp patch origin into the padded map; zero the weights of any
+        # corner whose true coordinate is outside [-1, H/W] (i.e. where the
+        # clamp moved the patch)
+        y0c = jnp.clip(y0i, -1, hh - 1)
+        x0c = jnp.clip(x0i, -1, ww - 1)
+        in_range = (y0i == y0c) & (x0i == x0c)
+
+        wx = jnp.stack([1.0 - tx, tx], -1)  # [B, Q, H, P, 2]
+        wy = jnp.stack([1.0 - ty, ty], -1)
+        w22 = wy[..., :, None] * wx[..., None, :]  # [B, Q, H, P, 2, 2]
+        w_l = attw[:, :, :, lvl, :] * in_range  # [B, Q, H, P]
+        w22 = w22 * w_l[..., None, None]
+
+        # [B, Q, H, P, ...] -> [B*H, Q*P, ...]
+        def bh(xx, trailing):
+            return jnp.swapaxes(xx, 1, 2).reshape((b * h, q * p) + trailing)
+
+        starts_yx = jnp.stack([y0c + 1, x0c + 1], -1)  # [B, Q, H, P, 2]
+        starts_bh = bh(starts_yx, (2,))
+        w_bh = bh(w22, (2, 2))
+
+        patches = jax.vmap(
+            lambda v, s: jax.lax.gather(
+                v,
+                s,
+                dimension_numbers=dnums,
+                slice_sizes=(2, 2, d),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+        )(val_pad, starts_bh)  # [B*H, Q*P, 2, 2, D]
+
+        acc = jnp.einsum(
+            "nkij,nkijd->nkd", w_bh, patches,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B*H, Q*P, D]
+        out = out + acc.reshape(b * h, q, p, d).sum(2)
+
+    out = out.reshape(b, h, q, d)
+    out = jnp.swapaxes(out, 1, 2).reshape(b, q, h * d)
+    return out.astype(value.dtype)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
@@ -131,8 +223,8 @@ def ms_deform_attn(
 ) -> jnp.ndarray:
     """Dispatching entry point used by the model modules.
 
-    impl: 'auto' | 'jnp' | 'pallas'. 'auto' picks the Pallas kernel on TPU
-    when the shape is supported, else the XLA gather path.
+    impl: 'auto' | 'jnp' | 'patch' | 'pallas'. 'auto' picks the Pallas
+    kernel when supported, else the patch-gather XLA path.
     """
     spatial_shapes = tuple((int(a), int(b)) for a, b in spatial_shapes)
     if impl in ("auto", "pallas"):
@@ -147,6 +239,10 @@ def ms_deform_attn(
                 "Pallas msda kernel does not support this shape: "
                 f"value={value.shape} levels={spatial_shapes}"
             )
-    return ms_deform_attn_jnp(
+    if impl == "jnp":
+        return ms_deform_attn_jnp(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    return ms_deform_attn_patch(
         value, spatial_shapes, sampling_locations, attention_weights
     )

@@ -35,6 +35,7 @@ class DetrDecoderLayer(nn.Module):
         query_pos: jnp.ndarray,
         reference_points: jnp.ndarray,  # [bs, q, 1, 2]
         bev_spatial_shape: Tuple[int, int],
+        attn_mask: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
@@ -45,7 +46,8 @@ class DetrDecoderLayer(nn.Module):
             proj_drop=self.attn_dropout,
             dtype=self.dtype,
             name="self_attn",
-        )(query, query_pos=query_pos, deterministic=deterministic)
+        )(query, query_pos=query_pos, attn_mask=attn_mask,
+          deterministic=deterministic)
         query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
         query = CustomMSDeformableAttention(
             embed_dims=self.embed_dims,
@@ -86,6 +88,11 @@ class DetectionTransformerDecoder(nn.Module):
     num_heads: int = 8
     feedforward_channels: int = 512
     ffn_dropout: float = 0.1
+    # GroupDETR (V2): block-diagonal self-attention so query groups don't
+    # attend to each other in training (`modules/group_attention.py:149-157`;
+    # the reference folds groups into the batch — a block mask is the same
+    # computation with static shapes). At eval only one group is present.
+    group_detr: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,8 +105,15 @@ class DetectionTransformerDecoder(nn.Module):
         bev_spatial_shape: Tuple[int, int],
         reg_branch_fn: Optional[Callable] = None,
         *,
+        num_groups_present: int = 1,
         deterministic: bool = True,
     ):
+        attn_mask = None
+        if num_groups_present > 1:
+            q = query.shape[1]
+            per = q // num_groups_present
+            gid = jnp.arange(q) // per
+            attn_mask = gid[:, None] != gid[None, :]  # True = masked
         output = query
         intermediate = []
         intermediate_refs = []
@@ -118,6 +132,7 @@ class DetectionTransformerDecoder(nn.Module):
                 query_pos,
                 ref_input,
                 bev_spatial_shape,
+                attn_mask,
                 deterministic=deterministic,
             )
 

@@ -34,6 +34,7 @@ class BEVFormer(nn.Module):
             out_indices=c.backbone_out_indices,
             dcn_stages=c.backbone_dcn_stages,
             style=c.backbone_style,
+            norm=c.backbone_norm,
             dtype=dtype,
             name="img_backbone",
         )
@@ -51,6 +52,7 @@ class BEVFormer(nn.Module):
         images: jnp.ndarray,  # [bs, cams, H, W, 3] normalized
         *,
         use_grid_mask: bool = False,
+        train: bool = False,
     ) -> Sequence[jnp.ndarray]:
         """`detectors/bevformer.py:67-108`: fold cams into batch, backbone,
         neck, unfold."""
@@ -59,7 +61,7 @@ class BEVFormer(nn.Module):
         if use_grid_mask:
             rng = self.make_rng("grid_mask")
             imgs = grid_mask(rng, imgs)
-        feats = self.img_backbone(imgs)
+        feats = self.img_backbone(imgs, train)
         feats = self.img_neck(feats)
         out = []
         for f in feats:

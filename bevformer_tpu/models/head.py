@@ -87,24 +87,48 @@ class BEVFormerHead(nn.Module):
             dtype=dtype,
             name="positional_encoding",
         )
-        self.transformer = PerceptionTransformer(
-            embed_dims=e,
-            num_feature_levels=c.num_feature_levels,
-            num_cams=c.data.num_cams,
-            encoder_layers=c.encoder_layers,
-            decoder_layers=c.decoder_layers,
-            num_heads=c.num_heads,
-            feedforward_channels=c.feedforward_channels,
-            ffn_dropout=c.ffn_dropout,
-            num_points_in_pillar=c.num_points_in_pillar,
-            pc_range=c.pc_range,
-            rotate_prev_bev=c.rotate_prev_bev,
-            use_shift=c.use_shift,
-            use_can_bus=c.use_can_bus,
-            rotate_center=c.rotate_center,
-            dtype=dtype,
-            name="transformer",
-        )
+        if c.version == "v2":
+            from bevformer_tpu.models.transformer_v2 import (
+                PerceptionTransformerV2Flax,
+            )
+
+            self.transformer = PerceptionTransformerV2Flax(
+                embed_dims=e,
+                num_feature_levels=c.num_feature_levels,
+                num_cams=c.data.num_cams,
+                encoder_layers=c.encoder_layers,
+                decoder_layers=c.decoder_layers,
+                num_heads=c.num_heads,
+                feedforward_channels=c.feedforward_channels,
+                ffn_dropout=c.ffn_dropout,
+                num_points_in_pillar=c.num_points_in_pillar,
+                pc_range=c.pc_range,
+                frames=c.frames,
+                num_fusion=c.num_fusion,
+                inter_channels=c.inter_channels,
+                group_detr=c.group_detr,
+                dtype=dtype,
+                name="transformer",
+            )
+        else:
+            self.transformer = PerceptionTransformer(
+                embed_dims=e,
+                num_feature_levels=c.num_feature_levels,
+                num_cams=c.data.num_cams,
+                encoder_layers=c.encoder_layers,
+                decoder_layers=c.decoder_layers,
+                num_heads=c.num_heads,
+                feedforward_channels=c.feedforward_channels,
+                ffn_dropout=c.ffn_dropout,
+                num_points_in_pillar=c.num_points_in_pillar,
+                pc_range=c.pc_range,
+                rotate_prev_bev=c.rotate_prev_bev,
+                use_shift=c.use_shift,
+                use_can_bus=c.use_can_bus,
+                rotate_center=c.rotate_center,
+                dtype=dtype,
+                name="transformer",
+            )
         num_pred = c.decoder_layers
         self.cls_branches = [
             ClsBranch(
@@ -138,6 +162,8 @@ class BEVFormerHead(nn.Module):
         only_bev: bool = False,
         training: bool = False,
         deterministic: bool = True,
+        prev_bev_list=None,  # V2: list of per-frame BEVs for fusion
+        bda_mat=None,  # V2: BEV-grid unwarp matrix [bs, 2, 2]
     ):
         c = self.cfg
         bs = mlvl_feats[0].shape[0]
@@ -146,6 +172,18 @@ class BEVFormerHead(nn.Module):
         bev_pos = self.positional_encoding(bs)
 
         if only_bev:
+            if c.version == "v2":
+                return self.transformer.get_bev_features(
+                    mlvl_feats,
+                    self.bev_embedding,
+                    bev_pos,
+                    c.bev_h,
+                    c.bev_w,
+                    lidar2img,
+                    img_shape,
+                    bda_mat,
+                    deterministic=deterministic,
+                )
             return self.transformer.get_bev_features(
                 mlvl_feats,
                 self.bev_embedding,
@@ -169,22 +207,40 @@ class BEVFormerHead(nn.Module):
         def reg_branch_fn(lid, states):
             return self.reg_branches[lid](states)
 
-        bev_embed, hs, init_reference, inter_references = self.transformer(
-            mlvl_feats,
-            self.bev_embedding,
-            object_query,
-            bev_pos,
-            c.bev_h,
-            c.bev_w,
-            c.grid_length,
-            can_bus,
-            lidar2img,
-            img_shape,
-            prev_bev,
-            has_prev,
-            reg_branch_fn,
-            deterministic=deterministic,
-        )
+        if c.version == "v2":
+            bev_embed, hs, init_reference, inter_references = self.transformer(
+                mlvl_feats,
+                self.bev_embedding,
+                object_query,
+                bev_pos,
+                c.bev_h,
+                c.bev_w,
+                lidar2img,
+                img_shape,
+                prev_bev_list,
+                bda_mat,
+                reg_branch_fn,
+                num_groups_present=c.group_detr if training else 1,
+                train_fusion=training,
+                deterministic=deterministic,
+            )
+        else:
+            bev_embed, hs, init_reference, inter_references = self.transformer(
+                mlvl_feats,
+                self.bev_embedding,
+                object_query,
+                bev_pos,
+                c.bev_h,
+                c.bev_w,
+                c.grid_length,
+                can_bus,
+                lidar2img,
+                img_shape,
+                prev_bev,
+                has_prev,
+                reg_branch_fn,
+                deterministic=deterministic,
+            )
 
         # per-layer outputs with reference de-normalization
         # (`bevformer_head.py:175-203`)

@@ -36,7 +36,7 @@ class FrozenBN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = True):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
@@ -45,6 +45,39 @@ class FrozenBN(nn.Module):
         mul = scale * jax.lax.rsqrt(var + self.eps)
         add = bias - mean * mul
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
+class SyncBN(nn.Module):
+    """Trainable BatchNorm (V2 backbone: `norm_eval=False`, SyncBN).
+
+    Under jit with a dp-sharded batch, the batch-mean reduction becomes a
+    cross-device collective automatically — i.e. true SyncBN semantics.
+    Keeps running statistics in the 'batch_stats' collection.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.9
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        bn = nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            name="bn",
+        )
+        return bn(x)
+
+
+def make_norm(norm: str, features: int, dtype, name: str):
+    if norm == "frozen":
+        return FrozenBN(features, dtype=dtype, name=name)
+    if norm == "bn":
+        return SyncBN(features, dtype=dtype, name=name)
+    raise ValueError(norm)
 
 
 class ModulatedDeformConv(nn.Module):
@@ -149,10 +182,12 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     use_dcn: bool = False
     style: str = "pytorch"  # 'pytorch': stride in 3x3; 'caffe': stride in 1x1
+    norm: str = "frozen"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        ura = not train
         identity = x
         s1 = self.stride if self.style == "caffe" else 1
         s2 = 1 if self.style == "caffe" else self.stride
@@ -164,7 +199,7 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        out = FrozenBN(self.planes, name="bn1")(out)
+        out = make_norm(self.norm, self.planes, self.dtype, "bn1")(out, ura)
         out = nn.relu(out)
 
         if self.use_dcn:
@@ -181,13 +216,13 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype,
                 name="conv2",
             )(out)
-        out = FrozenBN(self.planes, name="bn2")(out)
+        out = make_norm(self.norm, self.planes, self.dtype, "bn2")(out, ura)
         out = nn.relu(out)
 
         out = nn.Conv(
             self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
         )(out)
-        out = FrozenBN(self.planes * 4, name="bn3")(out)
+        out = make_norm(self.norm, self.planes * 4, self.dtype, "bn3")(out, ura)
 
         if self.downsample:
             identity = nn.Conv(
@@ -198,7 +233,9 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype,
                 name="downsample_conv",
             )(x)
-            identity = FrozenBN(self.planes * 4, name="downsample_bn")(identity)
+            identity = make_norm(
+                self.norm, self.planes * 4, self.dtype, "downsample_bn"
+            )(identity, ura)
 
         return nn.relu(out + identity)
 
@@ -211,10 +248,11 @@ class ResNet(nn.Module):
     out_indices: Tuple[int, ...] = (3,)
     dcn_stages: Tuple[int, ...] = ()  # e.g. (2, 3) for R101-DCN
     style: str = "pytorch"
+    norm: str = "frozen"  # 'frozen' (v1: norm_eval + no grad) | 'bn' (v2)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [b, h, w, 3]
+    def __call__(self, x, train: bool = False):  # [b, h, w, 3]
         blocks = ARCH_SETTINGS[self.depth]
         out = nn.Conv(
             64,
@@ -225,7 +263,7 @@ class ResNet(nn.Module):
             dtype=self.dtype,
             name="stem_conv",
         )(x)
-        out = FrozenBN(64, name="stem_bn")(out)
+        out = make_norm(self.norm, 64, self.dtype, "stem_bn")(out, not train)
         out = nn.relu(out)
         out = nn.max_pool(
             out, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
@@ -243,9 +281,10 @@ class ResNet(nn.Module):
                     downsample=(blk == 0),
                     use_dcn=use_dcn,
                     style=self.style,
+                    norm=self.norm,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{blk}",
-                )(out)
+                )(out, train)
             if stage in self.out_indices:
                 outputs.append(out)
             planes *= 2

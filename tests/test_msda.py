@@ -77,6 +77,36 @@ def test_msda_matches_grid_sample(shapes, heads, points):
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "shapes,heads,points",
+    [
+        (((15, 25),), 8, 8),
+        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8),
+    ],
+)
+def test_patch_gather_matches_reference(shapes, heads, points):
+    from bevformer_tpu.kernels.msda import ms_deform_attn_patch
+
+    rng = np.random.RandomState(7)
+    b, q, d = 2, 53, 32
+    k = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    value = rng.randn(b, k, heads, d).astype(np.float32)
+    loc = rng.uniform(-0.5, 1.5, size=(b, q, heads, l, points, 2)).astype(
+        np.float32
+    )
+    w = rng.rand(b, q, heads, l, points).astype(np.float32)
+    a = np.asarray(
+        ms_deform_attn_jnp(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    )
+    c = np.asarray(
+        ms_deform_attn_patch(
+            jnp.array(value), shapes, jnp.array(loc), jnp.array(w)
+        )
+    )
+    np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-5)
+
+
 def test_msda_grad_finite():
     import jax
 
