@@ -96,6 +96,8 @@ class BEVFormerConfig:
     num_points_in_pillar: int = 4
     sca_num_points: int = 8
     tsa_num_points: int = 4
+    # static per-camera SCA query capacity (fraction of bev_h*bev_w; 0=dense)
+    sca_capacity_ratio: float = 0.0
     rotate_prev_bev: bool = True
     use_shift: bool = True
     use_can_bus: bool = True
@@ -170,13 +172,17 @@ def get_config(name: str, **overrides) -> BEVFormerConfig:
 # ---------------------------------------------------------------------------
 
 # projects/configs/bevformer/bevformer_base.py
-register_config(BEVFormerConfig(name="bevformer_base"))
+# sca_capacity_ratio bounds per-camera SCA work like the reference's dynamic
+# rebatch (max_len); 0.4 of 40000 queries covers per-camera visibility with
+# ample margin on nuScenes geometry
+register_config(BEVFormerConfig(name="bevformer_base", sca_capacity_ratio=0.4))
 
 # projects/configs/bevformer/bevformer_small.py: R101-DCN caffe, C5 only,
 # 150x150 BEV, 3 encoder layers, x0.8 input, queue 3
 register_config(
     BEVFormerConfig(
         name="bevformer_small",
+        sca_capacity_ratio=0.4,
         backbone_out_indices=(3,),
         neck_in_channels=(2048,),
         num_feature_levels=1,
@@ -226,6 +232,7 @@ register_config(
     BEVFormerConfig(
         name="bevformerv2-r50-t1",
         version="v2",
+        sca_capacity_ratio=0.4,
         backbone_depth=50,
         backbone_out_indices=(1, 2, 3),
         backbone_dcn_stages=(),

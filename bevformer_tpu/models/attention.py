@@ -135,6 +135,13 @@ class SpatialCrossAttention(nn.Module):
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 8
+    # static per-camera query capacity as a fraction of bev_h*bev_w
+    # (0 = dense: every camera processes all queries). The reference's
+    # dynamic `nonzero()` rebatch (`spatial_cross_attention.py:136-167`)
+    # bounds work by the *max* per-camera visible count; this is its
+    # static-shape equivalent — top-`capacity` visible queries per camera,
+    # identical numerics whenever capacity >= the visible count.
+    capacity_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -156,26 +163,65 @@ class SpatialCrossAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
-        # fold cameras into batch with the query broadcast to every camera
-        q_cam = jnp.broadcast_to(query[:, None], (bs, cams, q, e))
-        q_cam = q_cam.reshape(bs * cams, q, e)
-        ref = reference_points_cam.reshape(bs * cams, q, -1, 2)
-        v = value.reshape(bs * cams, -1, e)
-
-        attn = MSDeformableAttention3D(
+        inner = MSDeformableAttention3D(
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
             num_levels=self.num_levels,
             num_points=self.num_points,
             dtype=self.dtype,
             name="deformable_attention",
-        )(q_cam, v, ref, spatial_shapes)
-        attn = attn.reshape(bs, cams, q, e)
+        )
 
-        # per-(cam, query) any-z visibility; sum over cameras; normalize by
-        # hit count (`spatial_cross_attention.py:165-172`)
         anyz = jnp.any(bev_mask, axis=-1)  # [bs, cams, q]
-        slots = jnp.sum(attn * anyz[..., None].astype(attn.dtype), axis=1)
+        v = value.reshape(bs * cams, -1, e)
+
+        if self.capacity_ratio and self.capacity_ratio < 1.0:
+            cap = (int(q * self.capacity_ratio) + 127) // 128 * 128
+            cap = min(cap, q)
+            # top-`cap` visible queries per camera (ties broken by index;
+            # invisible slots may pad the tail and are masked out below)
+            vis = anyz.astype(jnp.float32)
+            _, top_idx = jax.lax.top_k(
+                vis - jnp.arange(q, dtype=jnp.float32)[None, None] * 1e-9, cap
+            )  # [bs, cams, cap], stable order among visible
+            sel = jax.vmap(
+                jax.vmap(lambda arr, i: arr[i], in_axes=(None, 0)),
+                in_axes=(0, 0),
+            )
+            q_sel = sel(query, top_idx)  # [bs, cams, cap, e]
+            ref_sel = jnp.take_along_axis(
+                reference_points_cam,
+                top_idx[..., None, None],
+                axis=2,
+            )
+            vis_sel = jnp.take_along_axis(anyz, top_idx, axis=2)
+
+            attn = inner(
+                q_sel.reshape(bs * cams, cap, e),
+                v,
+                ref_sel.reshape(bs * cams, cap, -1, 2),
+                spatial_shapes,
+            ).reshape(bs, cams, cap, e)
+            attn = attn * vis_sel[..., None].astype(attn.dtype)
+            # scatter-add back to BEV slots
+            slots = jnp.zeros((bs, q, e), attn.dtype)
+
+            def scat(s, idx, val):
+                return s.at[idx.reshape(-1)].add(val.reshape(-1, e))
+
+            slots = jax.vmap(scat)(slots, top_idx, attn)
+        else:
+            q_cam = jnp.broadcast_to(query[:, None], (bs, cams, q, e))
+            attn = inner(
+                q_cam.reshape(bs * cams, q, e),
+                v,
+                reference_points_cam.reshape(bs * cams, q, -1, 2),
+                spatial_shapes,
+            ).reshape(bs, cams, q, e)
+            slots = jnp.sum(attn * anyz[..., None].astype(attn.dtype), axis=1)
+
+        # per-query camera hit count normalization
+        # (`spatial_cross_attention.py:165-172`)
         count = jnp.maximum(anyz.astype(jnp.float32).sum(axis=1), 1.0)
         slots = slots / count[..., None].astype(slots.dtype)
 

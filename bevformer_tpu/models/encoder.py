@@ -34,6 +34,7 @@ class BEVFormerLayer(nn.Module):
     num_levels: int = 4  # feature levels for SCA
     sca_num_points: int = 8
     tsa_num_points: int = 4
+    sca_capacity_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,6 +75,7 @@ class BEVFormerLayer(nn.Module):
             num_heads=self.num_heads,
             num_levels=self.num_levels,
             num_points=self.sca_num_points,
+            capacity_ratio=self.sca_capacity_ratio,
             dtype=self.dtype,
             name="cross_attn",
         )(
@@ -110,6 +112,7 @@ class BEVFormerEncoder(nn.Module):
     num_levels: int = 4
     num_points_in_pillar: int = 4
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    sca_capacity_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -176,6 +179,7 @@ class BEVFormerEncoder(nn.Module):
                 ffn_dropout=self.ffn_dropout,
                 num_cams=self.num_cams,
                 num_levels=self.num_levels,
+                sca_capacity_ratio=self.sca_capacity_ratio,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(

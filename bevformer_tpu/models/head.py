@@ -107,6 +107,7 @@ class BEVFormerHead(nn.Module):
                 num_fusion=c.num_fusion,
                 inter_channels=c.inter_channels,
                 group_detr=c.group_detr,
+                sca_capacity_ratio=c.sca_capacity_ratio,
                 dtype=dtype,
                 name="transformer",
             )
@@ -126,6 +127,7 @@ class BEVFormerHead(nn.Module):
                 use_shift=c.use_shift,
                 use_can_bus=c.use_can_bus,
                 rotate_center=c.rotate_center,
+                sca_capacity_ratio=c.sca_capacity_ratio,
                 dtype=dtype,
                 name="transformer",
             )

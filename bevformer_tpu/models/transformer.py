@@ -35,6 +35,7 @@ class PerceptionTransformer(nn.Module):
     use_can_bus: bool = True
     can_bus_norm: bool = True
     use_cams_embeds: bool = True
+    sca_capacity_ratio: float = 0.0
     rotate_center: Tuple[float, float] = (100.0, 100.0)
     dtype: jnp.dtype = jnp.float32
 
@@ -63,6 +64,7 @@ class PerceptionTransformer(nn.Module):
             num_levels=self.num_feature_levels,
             num_points_in_pillar=self.num_points_in_pillar,
             pc_range=self.pc_range,
+            sca_capacity_ratio=self.sca_capacity_ratio,
             dtype=self.dtype,
             name="encoder",
         )

@@ -133,6 +133,7 @@ class PerceptionTransformerV2Flax(nn.Module):
     num_points_in_pillar: int = 4
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     use_cams_embeds: bool = True
+    sca_capacity_ratio: float = 0.0
     frames: Tuple[int, ...] = (0,)
     num_fusion: int = 3
     inter_channels: Optional[int] = None
@@ -164,6 +165,7 @@ class PerceptionTransformerV2Flax(nn.Module):
             num_levels=self.num_feature_levels,
             num_points_in_pillar=self.num_points_in_pillar,
             pc_range=self.pc_range,
+            sca_capacity_ratio=self.sca_capacity_ratio,
             dtype=self.dtype,
             name="encoder",
         )

@@ -1,0 +1,75 @@
+"""Samplers, VoVNet, utils, grid mask."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bevformer_tpu.data.sampler import ContiguousVideoSampler, GroupShuffleSampler
+
+
+def test_group_shuffle_sampler_partitions():
+    n, reps = 103, 4
+    all_idx = []
+    for r in range(reps):
+        s = GroupShuffleSampler(n, num_replicas=reps, rank=r, seed=7)
+        s.set_epoch(3)
+        idx = s.indices()
+        assert len(idx) == s.num_samples
+        all_idx += idx
+    # together they cover the dataset (with padding duplicates)
+    assert set(all_idx) == set(range(n))
+    # different epochs give different orders
+    s0 = GroupShuffleSampler(n, 4, 0, seed=7)
+    s0.set_epoch(0)
+    a = s0.indices()
+    s0.set_epoch(1)
+    b = s0.indices()
+    assert a != b
+
+
+def test_contiguous_sampler_blocks():
+    n, reps = 10, 3
+    blocks = [ContiguousVideoSampler(n, reps, r).indices() for r in range(reps)]
+    flat = [i for b in blocks for i in b]
+    assert flat == list(range(n))
+    for b in blocks:
+        assert b == sorted(b)  # contiguous ascending
+
+
+def test_vovnet_forward():
+    from bevformer_tpu.models.vovnet import VoVNet
+
+    model = VoVNet(out_indices=(1, 2, 3))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(params, x)
+    assert len(outs) == 3
+    # strides 8, 16, 32; channels 512, 768, 1024 for V2-99
+    assert outs[0].shape == (1, 8, 8, 512)
+    assert outs[1].shape == (1, 4, 4, 768)
+    assert outs[2].shape == (1, 2, 2, 1024)
+
+
+def test_grid_mask_distribution():
+    from bevformer_tpu.models.grid_mask import grid_mask
+
+    imgs = jnp.ones((2, 64, 96, 3))
+    zero_fracs = []
+    for i in range(12):
+        out = grid_mask(jax.random.PRNGKey(i), imgs)
+        zero_fracs.append(float((out == 0).mean()))
+    zf = np.array(zero_fracs)
+    # applied with prob 0.7; when applied, keeps the stripe union (~75%)
+    assert (zf == 0).any() or (zf < 0.05).any()  # sometimes not applied
+    assert (zf > 0.05).any()  # sometimes applied
+    applied = zf[zf > 0.05]
+    assert applied.mean() < 0.6  # never zeroes a majority on average
+
+
+def test_save_tensor(tmp_path):
+    from bevformer_tpu.utils.visual import save_tensor
+
+    p = save_tensor(np.random.rand(4, 16, 16), str(tmp_path / "t.png"))
+    import os
+
+    assert os.path.exists(p)

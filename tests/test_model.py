@@ -116,3 +116,28 @@ def test_zoo_configs_registered():
     assert base.grid_length == (0.512, 0.512)
     small = get_config("bevformer_small")
     assert small.data.img_size == (736, 1280)
+
+
+def test_sca_capacity_routing_matches_dense():
+    """Static-capacity SCA == dense when capacity covers visible queries."""
+    import jax
+
+    from bevformer_tpu.models.attention import SpatialCrossAttention
+
+    rng = np.random.RandomState(0)
+    bs, q, e, cams, D = 1, 256, 32, 6, 4
+    shapes = ((6, 8),)
+    query = jnp.array(rng.randn(bs, q, e), jnp.float32)
+    value = jnp.array(rng.randn(bs, cams, 48, e), jnp.float32)
+    ref = jnp.array(rng.uniform(0, 1, (bs, cams, q, D, 2)), jnp.float32)
+    mask = jnp.array(rng.rand(bs, cams, q, D) < 0.25)
+
+    kw = dict(embed_dims=e, num_cams=cams, num_heads=4, num_levels=1,
+              num_points=4, dropout=0.0)
+    m_dense = SpatialCrossAttention(capacity_ratio=0.0, **kw)
+    m_cap = SpatialCrossAttention(capacity_ratio=0.75, **kw)
+    params = m_dense.init(jax.random.PRNGKey(0), query, value, None, ref,
+                          mask, shapes)
+    out_d = m_dense.apply(params, query, value, None, ref, mask, shapes)
+    out_c = m_cap.apply(params, query, value, None, ref, mask, shapes)
+    assert float(jnp.abs(out_d - out_c).max()) < 1e-5

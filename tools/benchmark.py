@@ -26,6 +26,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from bevformer_tpu.configs import get_config

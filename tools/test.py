@@ -37,6 +37,8 @@ def main():
     args = parse_args()
     import jax
     import numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bevformer_tpu.configs import get_config
     from bevformer_tpu.configs.config import apply_overrides

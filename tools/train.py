@@ -33,6 +33,11 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--ckpt-interval-epochs", type=int, default=1)
     p.add_argument(
+        "--eval-interval-epochs", type=int, default=0,
+        help="run val NDS/mAP every N epochs (0 = off); the reference's "
+        "CustomDistEvalHook equivalent",
+    )
+    p.add_argument(
         "--cfg-options", nargs="*", default=[], help="key=val config overrides"
     )
     return p.parse_args()
@@ -42,6 +47,8 @@ def main():
     args = parse_args()
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from bevformer_tpu.configs import get_config
@@ -149,8 +156,45 @@ def main():
                     os.path.join(work_dir, "ckpts"), state, step + 1
                 )
                 print(f"saved checkpoint @ step {step + 1}")
+            if args.eval_interval_epochs and (step + 1) % (
+                steps_per_epoch * args.eval_interval_epochs
+            ) == 0:
+                _run_eval(cfg, model, state, args.data_root, work_dir, step + 1)
 
     print("done")
+
+
+def _run_eval(cfg, model, state, data_root, work_dir, step):
+    """In-training eval (CustomDistEvalHook equivalent)."""
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    from bevformer_tpu.core.boxes import CLASS_NAMES
+    from bevformer_tpu.core.evaluation import evaluate_detections
+    from bevformer_tpu.data.dataset import NuScenesTemporalDataset
+    from bevformer_tpu.runtime.eval import VideoEvaluator
+
+    val_pkl = _os.path.join(data_root, "nuscenes_infos_temporal_val.pkl")
+    if not _os.path.exists(val_pkl):
+        print("eval skipped: no val pkl")
+        return
+    ds = NuScenesTemporalDataset(val_pkl, cfg, test_mode=True, data_root=data_root)
+    evaluator = VideoEvaluator(model, state.params)
+    results = evaluator.run(ds)
+    gt = {}
+    for i in range(len(ds)):
+        ann = ds._annotations(ds.infos[i])
+        boxes = ann["gt_boxes"].copy()
+        if len(boxes):
+            boxes[:, 2] -= 0.5 * boxes[:, 5]
+        gt[ds.infos[i]["token"]] = dict(boxes=boxes, labels=ann["gt_labels"])
+    m = evaluate_detections(results, gt, class_names=CLASS_NAMES, verbose=True)
+    entry = dict(step=step, NDS=m["nd_score"], mAP=m["mean_ap"])
+    print(_json.dumps(entry))
+    with open(_os.path.join(work_dir, "eval_log.jsonl"), "a") as f:
+        f.write(_json.dumps(entry) + "\n")
 
 
 class _Placeholder:
