@@ -281,6 +281,89 @@ def ms_deform_attn_onehot(
     return jnp.swapaxes(out, 1, 2).reshape(b, q, h * d).astype(value.dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shape", "radius")
+)
+def ms_deform_attn_grid_shift(
+    value: jnp.ndarray,  # [B, K, H, D], K == Hh*Ww
+    spatial_shape: Tuple[int, int],
+    sampling_locations: jnp.ndarray,  # [B, Q, H, 1, P, 2], Q == K
+    attention_weights: jnp.ndarray,  # [B, Q, H, 1, P]
+    radius: int = 8,
+) -> jnp.ndarray:
+    """Gather-free single-level path for grid-aligned queries (TSA).
+
+    When every query sits on the value grid (BEV temporal self-attention:
+    Q == bev_h*bev_w in row-major order) and sampling points stay within
+    `radius` cells of the query's own cell, deformable attention equals a
+    data-dependent local convolution: for each integer shift (sy, sx) the
+    contribution is `mask_{sy,sx} * shift(value, (sy, sx))`, with the mask
+    built by comparing each point's floored relative offset — no gathers.
+
+    Points farther than `radius` are clamped to the window edge (the only
+    deviation from exact semantics; trained offsets are initialized <= 4
+    cells and stay small). Zero padding at the BEV border matches
+    grid_sample zeros-padding exactly.
+    """
+    b, k, h, d = value.shape
+    hh, ww = spatial_shape
+    _, q, _, l, p, _ = sampling_locations.shape
+    assert l == 1 and q == k == hh * ww, (l, q, k, hh, ww)
+    r = radius
+
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+
+    qx = (jnp.arange(q) % ww).astype(jnp.float32)
+    qy = (jnp.arange(q) // ww).astype(jnp.float32)
+    x = loc[:, :, :, 0, :, 0] * ww - 0.5  # [B, Q, H, P]
+    y = loc[:, :, :, 0, :, 1] * hh - 0.5
+    eps = 1e-4
+    dx = jnp.clip(x - qx[None, :, None, None], -r, r - eps)
+    dy = jnp.clip(y - qy[None, :, None, None], -r, r - eps)
+    sx0 = jnp.floor(dx)
+    sy0 = jnp.floor(dy)
+    tx = dx - sx0
+    ty = dy - sy0
+    sx0 = sx0.astype(jnp.int32)  # in [-r, r-1]
+    sy0 = sy0.astype(jnp.int32)
+
+    # zero-padded value image [B, H, Hh+2r+2, Ww+2r+2, D]
+    img = value.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 2, 4)
+    pad = r + 1
+    img = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
+    img = img.astype(jnp.float32)
+
+    side = 2 * r + 2  # corner shifts span [-r, r+1]
+    aw = attw[:, :, :, 0, :]  # [B, Q, H, P]
+    w00 = aw * (1 - tx) * (1 - ty)
+    w01 = aw * tx * (1 - ty)
+    w10 = aw * (1 - tx) * ty
+    w11 = aw * tx * ty
+
+    def body(s, out):
+        sy = s // side - r
+        sx = s % side - r
+        m = (
+            w00 * ((sx0 == sx) & (sy0 == sy))
+            + w01 * ((sx0 == sx - 1) & (sy0 == sy))
+            + w10 * ((sx0 == sx) & (sy0 == sy - 1))
+            + w11 * ((sx0 == sx - 1) & (sy0 == sy - 1))
+        ).sum(-1)  # [B, Q, H]
+        shifted = jax.lax.dynamic_slice(
+            img,
+            (0, 0, pad + sy, pad + sx, 0),
+            (b, h, hh, ww, d),
+        ).reshape(b, h, q, d)
+        return out + jnp.swapaxes(m, 1, 2)[..., None] * shifted
+
+    out = jax.lax.fori_loop(
+        0, side * side, body, jnp.zeros((b, h, q, d), jnp.float32)
+    )
+    out = jnp.swapaxes(out, 1, 2).reshape(b, q, h * d)
+    return out.astype(value.dtype)
+
+
 # per-level key-count threshold below which the MXU multi-hot path wins
 # (measured on v5e: K=375 -> onehot 7.6ms vs patch 14.6ms; K=2500 ->
 # onehot 8.2ms vs patch 3.7ms; crossover ~800)

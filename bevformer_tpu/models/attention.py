@@ -245,6 +245,11 @@ class TemporalSelfAttention(nn.Module):
     num_points: int = 4
     num_bev_queue: int = 2
     dropout: float = 0.1
+    # >0: gather-free shift-conv sampling (queries are grid-aligned in TSA;
+    # sampling clamped to +-radius cells — exact while offsets stay inside,
+    # which holds for the <=4-cell offset init and trained models). 0: the
+    # general gather path (use for strict .pth parity audits).
+    window_radius: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -306,7 +311,15 @@ class TemporalSelfAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn(v, ((bev_h, bev_w),), locations, weights)
+        if self.window_radius > 0:
+            from bevformer_tpu.kernels.msda import ms_deform_attn_grid_shift
+
+            out = ms_deform_attn_grid_shift(
+                v, (bev_h, bev_w), locations, weights,
+                radius=self.window_radius,
+            )
+        else:
+            out = ms_deform_attn(v, ((bev_h, bev_w),), locations, weights)
         # fuse queue by mean (`temporal_self_attention.py:255-262`)
         out = out.reshape(bs, nq, q, e).mean(axis=1)
 

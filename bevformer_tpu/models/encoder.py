@@ -99,6 +99,74 @@ class BEVFormerLayer(nn.Module):
         return query
 
 
+class _EncoderScanBody(nn.Module):
+    """nn.scan body over identical encoder layers (stacked params keep the
+    compiled program O(1) in depth; the axon compile relay rejects
+    oversized HLO)."""
+
+    embed_dims: int
+    num_heads: int
+    feedforward_channels: int
+    ffn_dropout: float
+    num_cams: int
+    num_levels: int
+    sca_capacity_ratio: float
+    deterministic: bool
+    has_prev_input: bool
+    spatial_shapes: tuple
+    bev_h: int
+    bev_w: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        output = carry
+        (
+            value,
+            bev_pos,
+            prev_bev,
+            initial_query,
+            hasq,
+            hybrid_ref_2d,
+            reference_points_cam,
+            bev_mask,
+        ) = consts
+        spatial_shapes = self.spatial_shapes
+        bev_h, bev_w = self.bev_h, self.bev_w
+        if self.has_prev_input:
+            slot0 = hasq * prev_bev.astype(output.dtype) + (1.0 - hasq) * output
+            slot1 = hasq * initial_query + (1.0 - hasq) * output
+        else:
+            slot0 = output
+            slot1 = output
+        value_queue = jnp.stack([slot0, slot1], axis=1)
+        output = BEVFormerLayer(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            feedforward_channels=self.feedforward_channels,
+            ffn_dropout=self.ffn_dropout,
+            num_cams=self.num_cams,
+            num_levels=self.num_levels,
+            sca_capacity_ratio=self.sca_capacity_ratio,
+            dtype=self.dtype,
+            name="layer",
+        )(
+            output,
+            value,
+            bev_pos,
+            value_queue,
+            hybrid_ref_2d,
+            reference_points_cam,
+            bev_mask,
+            spatial_shapes,
+            bev_h,
+            bev_w,
+            deterministic=self.deterministic,
+        )
+        output = maybe_shard(output, "dp", "sp", None)
+        return output, None
+
+
 class BEVFormerEncoder(nn.Module):
     """`encoder.py:24-239`. Computes reference points + camera projections
     once, then runs `num_layers` BEVFormerLayers."""
@@ -164,36 +232,39 @@ class BEVFormerEncoder(nn.Module):
         # axis; camera value stays replicated (each query samples
         # independently -> no communication inside SCA/TSA)
         output = maybe_shard(bev_query, "dp", "sp", None)
-        for i in range(self.num_layers):
-            if prev_bev is not None:
-                slot0 = hasq * prev_bev.astype(output.dtype) + (1.0 - hasq) * output
-                slot1 = hasq * initial_query + (1.0 - hasq) * output
-            else:
-                slot0 = output
-                slot1 = output
-            value_queue = jnp.stack([slot0, slot1], axis=1)
-            output = BEVFormerLayer(
-                embed_dims=self.embed_dims,
-                num_heads=self.num_heads,
-                feedforward_channels=self.feedforward_channels,
-                ffn_dropout=self.ffn_dropout,
-                num_cams=self.num_cams,
-                num_levels=self.num_levels,
-                sca_capacity_ratio=self.sca_capacity_ratio,
-                dtype=self.dtype,
-                name=f"layer{i}",
-            )(
-                output,
-                value,
-                bev_pos,
-                value_queue,
-                hybrid_ref_2d,
-                reference_points_cam,
-                bev_mask,
-                spatial_shapes,
-                bev_h,
-                bev_w,
-                deterministic=deterministic,
-            )
-            output = maybe_shard(output, "dp", "sp", None)
+
+        zeros = jnp.zeros_like(output)
+        consts = (
+            value,
+            bev_pos,
+            prev_bev if prev_bev is not None else zeros,
+            initial_query,
+            hasq,
+            hybrid_ref_2d,
+            reference_points_cam,
+            bev_mask,
+        )
+        scanned = nn.scan(
+            _EncoderScanBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=self.num_layers,
+        )(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            feedforward_channels=self.feedforward_channels,
+            ffn_dropout=self.ffn_dropout,
+            num_cams=self.num_cams,
+            num_levels=self.num_levels,
+            sca_capacity_ratio=self.sca_capacity_ratio,
+            deterministic=deterministic,
+            has_prev_input=prev_bev is not None,
+            spatial_shapes=tuple(spatial_shapes),
+            bev_h=bev_h,
+            bev_w=bev_w,
+            dtype=self.dtype,
+            name="layers",
+        )
+        output, _ = scanned(output, consts)
         return output

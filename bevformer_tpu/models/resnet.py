@@ -240,9 +240,42 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _BlockScanBody(nn.Module):
+    """Scan body for the identical (stride-1, no-downsample) tail blocks of
+    a stage. Scanning instead of inlining keeps the HLO small: R101 stage 3
+    alone has 22 identical blocks, and the axon compile relay rejects
+    oversized programs (HTTP 413)."""
+
+    planes: int
+    use_dcn: bool
+    style: str
+    norm: str
+    train: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = Bottleneck(
+            planes=self.planes,
+            stride=1,
+            downsample=False,
+            use_dcn=self.use_dcn,
+            style=self.style,
+            norm=self.norm,
+            dtype=self.dtype,
+            name="block",
+        )(carry, self.train)
+        return out, None
+
+
 class ResNet(nn.Module):
     """ResNet-50/101, NHWC, outputs the stages in `out_indices` (0-based
-    stage index as in mmdet: 0->C2 .. 3->C5)."""
+    stage index as in mmdet: 0->C2 .. 3->C5).
+
+    Block 0 of each stage (strided + downsample) is a named module; the
+    remaining identical blocks run under nn.scan with stacked params
+    (`layer{i}_rest`), keeping program size O(stages) instead of O(blocks).
+    """
 
     depth: int = 50
     out_indices: Tuple[int, ...] = (3,)
@@ -274,17 +307,32 @@ class ResNet(nn.Module):
         for stage, num_blocks in enumerate(blocks):
             stride = 1 if stage == 0 else 2
             use_dcn = stage in self.dcn_stages
-            for blk in range(num_blocks):
-                out = Bottleneck(
+            out = Bottleneck(
+                planes=planes,
+                stride=stride,
+                downsample=True,
+                use_dcn=use_dcn,
+                style=self.style,
+                norm=self.norm,
+                dtype=self.dtype,
+                name=f"layer{stage + 1}_block0",
+            )(out, train)
+            if num_blocks > 1:
+                scanned = nn.scan(
+                    _BlockScanBody,
+                    variable_axes={"params": 0, "batch_stats": 0},
+                    split_rngs={"params": True},
+                    length=num_blocks - 1,
+                )(
                     planes=planes,
-                    stride=stride if blk == 0 else 1,
-                    downsample=(blk == 0),
                     use_dcn=use_dcn,
                     style=self.style,
                     norm=self.norm,
+                    train=train,
                     dtype=self.dtype,
-                    name=f"layer{stage + 1}_block{blk}",
-                )(out, train)
+                    name=f"layer{stage + 1}_rest",
+                )
+                out, _ = scanned(out, None)
             if stage in self.out_indices:
                 outputs.append(out)
             planes *= 2

@@ -113,39 +113,63 @@ def convert_reference_state_dict(
     from bevformer_tpu.models.resnet import ARCH_SETTINGS
 
     blocks = ARCH_SETTINGS[cfg.backbone_depth]
+
+    def block_tensors(src: str, use_dcn: bool) -> Dict[str, np.ndarray]:
+        """One torch bottleneck -> our per-block tensor dict."""
+        t: Dict[str, np.ndarray] = {}
+        t["conv1/kernel"] = _conv_kernel(sd[f"{src}.conv1.weight"])
+        if use_dcn:
+            w = sd[f"{src}.conv2.weight"]  # [O, I, 3, 3]
+            o, i, kh, kw = w.shape
+            # ours: [tap*in + i, O] with tap = ky*3+kx
+            t["conv2/kernel"] = np.transpose(w, (2, 3, 1, 0)).reshape(
+                kh * kw * i, o
+            )
+            t["conv2/conv_offset/kernel"] = _conv_kernel(
+                sd[f"{src}.conv2.conv_offset.weight"]
+            )
+            t["conv2/conv_offset/bias"] = sd[f"{src}.conv2.conv_offset.bias"]
+        else:
+            t["conv2/kernel"] = _conv_kernel(sd[f"{src}.conv2.weight"])
+        t["conv3/kernel"] = _conv_kernel(sd[f"{src}.conv3.weight"])
+        for i_bn in (1, 2, 3):
+            for suffix, tsuf in (
+                ("scale", "weight"),
+                ("bias", "bias"),
+                ("mean", "running_mean"),
+                ("var", "running_var"),
+            ):
+                t[f"bn{i_bn}/{suffix}"] = sd[f"{src}.bn{i_bn}.{tsuf}"]
+        if f"{src}.downsample.0.weight" in sd:
+            t["downsample_conv/kernel"] = _conv_kernel(
+                sd[f"{src}.downsample.0.weight"]
+            )
+            for suffix, tsuf in (
+                ("scale", "weight"),
+                ("bias", "bias"),
+                ("mean", "running_mean"),
+                ("var", "running_var"),
+            ):
+                t[f"downsample_bn/{suffix}"] = sd[f"{src}.downsample.1.{tsuf}"]
+        return t
+
     for stage, nblocks in enumerate(blocks):
-        for blk in range(nblocks):
-            src = f"img_backbone.layer{stage + 1}.{blk}"
-            dst = f"{bb}/layer{stage + 1}_block{blk}"
-            use_dcn = stage in cfg.backbone_dcn_stages
-            put(f"{dst}/conv1/kernel", _conv_kernel(sd[f"{src}.conv1.weight"]))
-            if use_dcn:
-                w = sd[f"{src}.conv2.weight"]  # [O, I, 3, 3]
-                o, i, kh, kw = w.shape
-                # ours: [tap*in + i, O] with tap = ky*3+kx
-                wk = np.transpose(w, (2, 3, 1, 0)).reshape(kh * kw * i, o)
-                put(f"{dst}/conv2/kernel", wk)
+        use_dcn = stage in cfg.backbone_dcn_stages
+        # block 0: named module
+        t0 = block_tensors(f"img_backbone.layer{stage + 1}.0", use_dcn)
+        for key, val in t0.items():
+            put(f"{bb}/layer{stage + 1}_block0/{key}", val)
+        # blocks 1..n-1: stacked along the nn.scan axis
+        if nblocks > 1:
+            rest = [
+                block_tensors(f"img_backbone.layer{stage + 1}.{blk}", use_dcn)
+                for blk in range(1, nblocks)
+            ]
+            for key in rest[0]:
                 put(
-                    f"{dst}/conv2/conv_offset/kernel",
-                    _conv_kernel(sd[f"{src}.conv2.conv_offset.weight"]),
+                    f"{bb}/layer{stage + 1}_rest/block/{key}",
+                    np.stack([r[key] for r in rest]),
                 )
-                put(
-                    f"{dst}/conv2/conv_offset/bias",
-                    sd[f"{src}.conv2.conv_offset.bias"],
-                )
-            else:
-                put(
-                    f"{dst}/conv2/kernel", _conv_kernel(sd[f"{src}.conv2.weight"])
-                )
-            put(f"{dst}/conv3/kernel", _conv_kernel(sd[f"{src}.conv3.weight"]))
-            for i_bn in (1, 2, 3):
-                bn(f"{dst}/bn{i_bn}", f"{src}.bn{i_bn}")
-            if f"{src}.downsample.0.weight" in sd:
-                put(
-                    f"{dst}/downsample_conv/kernel",
-                    _conv_kernel(sd[f"{src}.downsample.0.weight"]),
-                )
-                bn(f"{dst}/downsample_bn", f"{src}.downsample.1")
 
     # ---------------- neck ----------------
     nlevels = len(cfg.neck_in_channels)
@@ -231,21 +255,39 @@ def convert_reference_state_dict(
         put(f"{dst}/fc2/kernel", _linear(sd[f"{src}.layers.1.weight"]))
         put(f"{dst}/fc2/bias", sd[f"{src}.layers.1.bias"])
 
-    # encoder layers: attentions.0 = TSA, attentions.1 = SCA
-    for lid in range(cfg.encoder_layers):
+    # encoder layers (stacked along the nn.scan axis):
+    # attentions.0 = TSA, attentions.1 = SCA
+    def enc_layer_tensors(lid: int) -> Dict[str, np.ndarray]:
         src = f"{tr}.encoder.layers.{lid}"
-        dst = f"{trd}/encoder/layer{lid}"
-        deform_attn(f"{dst}/self_attn", f"{src}.attentions.0")
+        t: Dict[str, np.ndarray] = {}
+
+        def lin(dst_key, src_key):
+            t[f"{dst_key}/kernel"] = _linear(sd[f"{src_key}.weight"])
+            t[f"{dst_key}/bias"] = sd[f"{src_key}.bias"]
+
+        for nm in ("sampling_offsets", "attention_weights", "value_proj",
+                   "output_proj"):
+            lin(f"self_attn/{nm}", f"{src}.attentions.0.{nm}")
         sca = f"{src}.attentions.1"
-        deform_attn(
-            f"{dst}/cross_attn/deformable_attention",
-            f"{sca}.deformable_attention",
-            has_out_proj=False,
+        for nm in ("sampling_offsets", "attention_weights", "value_proj"):
+            lin(
+                f"cross_attn/deformable_attention/{nm}",
+                f"{sca}.deformable_attention.{nm}",
+            )
+        lin("cross_attn/output_proj", f"{sca}.output_proj")
+        for i in range(3):
+            t[f"norm{i + 1}/scale"] = sd[f"{src}.norms.{i}.weight"]
+            t[f"norm{i + 1}/bias"] = sd[f"{src}.norms.{i}.bias"]
+        lin("ffn/fc1", f"{src}.ffns.0.layers.0.0")
+        lin("ffn/fc2", f"{src}.ffns.0.layers.1")
+        return t
+
+    enc_layers = [enc_layer_tensors(l) for l in range(cfg.encoder_layers)]
+    for key in enc_layers[0]:
+        put(
+            f"{trd}/encoder/layers/layer/{key}",
+            np.stack([t[key] for t in enc_layers]),
         )
-        put(f"{dst}/cross_attn/output_proj/kernel", _linear(sd[f"{sca}.output_proj.weight"]))
-        put(f"{dst}/cross_attn/output_proj/bias", sd[f"{sca}.output_proj.bias"])
-        layer_norms(dst, src)
-        ffn(f"{dst}/ffn", f"{src}.ffns.0")
 
     # decoder layers: attentions.0 = MHA, attentions.1 = CustomMSDA
     for lid in range(cfg.decoder_layers):
@@ -298,30 +340,61 @@ def export_reference_state_dict(params: Dict[str, Any], cfg) -> Dict[str, np.nda
 
     put_conv("img_backbone.conv1", "img_backbone/stem_conv")
     put_bn("img_backbone.bn1", "img_backbone/stem_bn")
+
+    def export_block(dst: str, node: Dict[str, Any], use_dcn: bool):
+        def npv(path):
+            n = node
+            for part in path.split("/"):
+                n = n[part]
+            return np.asarray(n)
+
+        if use_dcn:
+            wk = npv("conv2/kernel")  # [9*in, out]
+            o = wk.shape[1]
+            i = wk.shape[0] // 9
+            sd[f"{dst}.conv2.weight"] = np.transpose(
+                wk.reshape(3, 3, i, o), (3, 2, 0, 1)
+            )
+            sd[f"{dst}.conv2.conv_offset.weight"] = np.transpose(
+                npv("conv2/conv_offset/kernel"), (3, 2, 0, 1)
+            )
+            sd[f"{dst}.conv2.conv_offset.bias"] = npv("conv2/conv_offset/bias")
+        else:
+            sd[f"{dst}.conv2.weight"] = np.transpose(
+                npv("conv2/kernel"), (3, 2, 0, 1)
+            )
+        for cname in ("conv1", "conv3"):
+            sd[f"{dst}.{cname}.weight"] = np.transpose(
+                npv(f"{cname}/kernel"), (3, 2, 0, 1)
+            )
+        for ib in (1, 2, 3):
+            sd[f"{dst}.bn{ib}.weight"] = npv(f"bn{ib}/scale")
+            sd[f"{dst}.bn{ib}.bias"] = npv(f"bn{ib}/bias")
+            sd[f"{dst}.bn{ib}.running_mean"] = npv(f"bn{ib}/mean")
+            sd[f"{dst}.bn{ib}.running_var"] = npv(f"bn{ib}/var")
+        if "downsample_conv" in node:
+            sd[f"{dst}.downsample.0.weight"] = np.transpose(
+                npv("downsample_conv/kernel"), (3, 2, 0, 1)
+            )
+            sd[f"{dst}.downsample.1.weight"] = npv("downsample_bn/scale")
+            sd[f"{dst}.downsample.1.bias"] = npv("downsample_bn/bias")
+            sd[f"{dst}.downsample.1.running_mean"] = npv("downsample_bn/mean")
+            sd[f"{dst}.downsample.1.running_var"] = npv("downsample_bn/var")
+
     for stage, nblocks in enumerate(ARCH_SETTINGS[cfg.backbone_depth]):
-        for blk in range(nblocks):
-            dst = f"img_backbone.layer{stage + 1}.{blk}"
-            src = f"img_backbone/layer{stage + 1}_block{blk}"
-            put_conv(f"{dst}.conv1", f"{src}/conv1")
-            if stage in cfg.backbone_dcn_stages:
-                wk = get(f"{src}/conv2/kernel")  # [9*in, out]
-                o = wk.shape[1]
-                i = wk.shape[0] // 9
-                sd[f"{dst}.conv2.weight"] = np.transpose(
-                    wk.reshape(3, 3, i, o), (3, 2, 0, 1)
+        use_dcn = stage in cfg.backbone_dcn_stages
+        export_block(
+            f"img_backbone.layer{stage + 1}.0",
+            p["img_backbone"][f"layer{stage + 1}_block0"],
+            use_dcn,
+        )
+        if nblocks > 1:
+            stacked = p["img_backbone"][f"layer{stage + 1}_rest"]["block"]
+            for blk in range(1, nblocks):
+                node = jax.tree.map(lambda x, b=blk: np.asarray(x)[b - 1], stacked)
+                export_block(
+                    f"img_backbone.layer{stage + 1}.{blk}", node, use_dcn
                 )
-                put_conv(f"{dst}.conv2.conv_offset", f"{src}/conv2/conv_offset")
-                sd[f"{dst}.conv2.conv_offset.bias"] = get(
-                    f"{src}/conv2/conv_offset/bias"
-                )
-            else:
-                put_conv(f"{dst}.conv2", f"{src}/conv2")
-            put_conv(f"{dst}.conv3", f"{src}/conv3")
-            for ib in (1, 2, 3):
-                put_bn(f"{dst}.bn{ib}", f"{src}/bn{ib}")
-            if "downsample_conv" in p["img_backbone"][f"layer{stage + 1}_block{blk}"]:
-                put_conv(f"{dst}.downsample.0", f"{src}/downsample_conv")
-                put_bn(f"{dst}.downsample.1", f"{src}/downsample_bn")
 
     for i in range(len(cfg.neck_in_channels)):
         put_conv(f"img_neck.lateral_convs.{i}.conv", f"img_neck/lateral{i}")
@@ -381,18 +454,36 @@ def export_reference_state_dict(params: Dict[str, Any], cfg) -> Dict[str, np.nda
         put_linear(f"{dst}.layers.0.0", f"{src}/fc1")
         put_linear(f"{dst}.layers.1", f"{src}/fc2")
 
+    # encoder layers: unstack the nn.scan axis
+    enc_stacked = p["pts_bbox_head"]["transformer"]["encoder"]["layers"]["layer"]
     for lid in range(cfg.encoder_layers):
-        src = f"{trd}/encoder/layer{lid}"
+        node = jax.tree.map(lambda x, l=lid: np.asarray(x)[l], enc_stacked)
         dst = f"{tr}.encoder.layers.{lid}"
-        exp_deform(f"{dst}.attentions.0", f"{src}/self_attn")
-        exp_deform(
-            f"{dst}.attentions.1.deformable_attention",
-            f"{src}/cross_attn/deformable_attention",
-            has_out=False,
-        )
-        put_linear(f"{dst}.attentions.1.output_proj", f"{src}/cross_attn/output_proj")
-        exp_norms(dst, src)
-        exp_ffn(f"{dst}.ffns.0", f"{src}/ffn")
+
+        def npv(path):
+            n = node
+            for part in path.split("/"):
+                n = n[part]
+            return np.asarray(n)
+
+        def exl(dkey, skey):
+            sd[f"{dkey}.weight"] = np.transpose(npv(f"{skey}/kernel"), (1, 0))
+            sd[f"{dkey}.bias"] = npv(f"{skey}/bias")
+
+        for nm in ("sampling_offsets", "attention_weights", "value_proj",
+                   "output_proj"):
+            exl(f"{dst}.attentions.0.{nm}", f"self_attn/{nm}")
+        for nm in ("sampling_offsets", "attention_weights", "value_proj"):
+            exl(
+                f"{dst}.attentions.1.deformable_attention.{nm}",
+                f"cross_attn/deformable_attention/{nm}",
+            )
+        exl(f"{dst}.attentions.1.output_proj", "cross_attn/output_proj")
+        for i in range(3):
+            sd[f"{dst}.norms.{i}.weight"] = npv(f"norm{i + 1}/scale")
+            sd[f"{dst}.norms.{i}.bias"] = npv(f"norm{i + 1}/bias")
+        exl(f"{dst}.ffns.0.layers.0.0", "ffn/fc1")
+        exl(f"{dst}.ffns.0.layers.1", "ffn/fc2")
 
     for lid in range(cfg.decoder_layers):
         src = f"{trd}/decoder/layer{lid}"

@@ -102,3 +102,29 @@ def test_roundtrip_with_dcn():
     assert "img_backbone.layer3.0.conv2.conv_offset.weight" in sd
     back = convert_reference_state_dict(sd, cfg)
     assert _flat_shapes(back) == _flat_shapes(params["params"])
+
+
+def test_roundtrip_r50_stacked_blocks():
+    """Depth-50 stages have scanned tail blocks (stacked params)."""
+    from bevformer_tpu.runtime.checkpoint import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+
+    cfg = mini_config(backbone_depth=50)
+    model, shapes = _init_params(cfg)
+    params = _concretize(shapes)
+    sd = export_reference_state_dict(params, cfg)
+    # torch keys for every block of layer3 (6 blocks in R50)
+    for blk in range(6):
+        assert f"img_backbone.layer3.{blk}.conv2.weight" in sd
+    back = convert_reference_state_dict(sd, cfg)
+    assert _flat_shapes(back) == _flat_shapes(params["params"])
+    # spot value check through the stack/unstack
+    import numpy as np
+
+    a = np.asarray(
+        params["params"]["img_backbone"]["layer3_rest"]["block"]["conv1"]["kernel"]
+    )
+    b = np.asarray(back["img_backbone"]["layer3_rest"]["block"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(a, b)

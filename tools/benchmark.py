@@ -51,17 +51,22 @@ def main():
     print(f"init {time.time() - t0:.1f}s; {n_params / 1e6:.1f}M params")
     has_prev = jnp.ones_like(has_prev)
 
-    def step(pb, _):
-        out = model.apply(params, images, can_bus, lidar2img, pb, has_prev)
-        return out["bev_embed"].astype(jnp.float32), out["all_cls_scores"].sum()
+    # params/images as jit args (closure constants blow the compile-relay
+    # payload limit for large models)
+    def chained(p, imgs, pb):
+        def body(c, _):
+            out = model.apply(p, imgs, can_bus, lidar2img, c, has_prev)
+            return out["bev_embed"].astype(jnp.float32), ()
+        bev, _ = jax.lax.scan(body, pb, None, length=args.samples)
+        return bev.sum()
 
     n = args.samples
-    loop = jax.jit(lambda pb: jax.lax.scan(step, pb, None, length=n)[1].sum())
+    loop = jax.jit(chained)
     t0 = time.time()
-    float(loop(prev_bev))
+    float(loop(params, images, prev_bev))
     print(f"compile+warmup {time.time() - t0:.1f}s")
     t0 = time.time()
-    float(loop(prev_bev))
+    float(loop(params, images, prev_bev))
     dt = (time.time() - t0) / n
     print(
         f"{args.config} dtype={cfg.dtype}: {dt * 1e3:.2f} ms/frame "
