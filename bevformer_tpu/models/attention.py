@@ -246,10 +246,11 @@ class TemporalSelfAttention(nn.Module):
     num_bev_queue: int = 2
     dropout: float = 0.1
     # >0: gather-free shift-conv sampling (queries are grid-aligned in TSA;
-    # sampling clamped to +-radius cells — exact while offsets stay inside,
-    # which holds for the <=4-cell offset init and trained models). 0: the
-    # general gather path (use for strict .pth parity audits).
-    window_radius: int = 8
+    # exact while offsets stay within the radius). Default 0 = the general
+    # gather path: the shift formulation's traced-offset slices don't fuse
+    # on TPU today (see the DCN note in resnet.py) — revisit with a tiled
+    # kernel.
+    window_radius: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

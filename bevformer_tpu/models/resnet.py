@@ -84,13 +84,22 @@ class ModulatedDeformConv(nn.Module):
     """DCNv2: 3x3 modulated deformable convolution.
 
     offset/mask predicted by a regular 3x3 conv (27 = 18 offsets + 9 masks),
-    sampling via bilinear gather (zeros padding), then a dense matmul with
-    the conv weight — deformable im2col, the reference's mmcv CUDA `DCNv2`
-    semantics.
+    sampling via bilinear interpolation (zeros padding), then a dense matmul
+    with the conv weight — deformable im2col, the reference's mmcv CUDA
+    `DCNv2` semantics.
+
+    Sampling strategy (TPU): shift_radius=0 (default) uses the bilinear
+    gather path. shift_radius>0 switches to a gather-free masked-shift
+    formulation (exact while |offset| < radius) — measured SLOWER here
+    (10.4 s vs 0.54 s for the R101-DCN backbone): traced-offset
+    dynamic_slices inside the loop don't fuse, so the input is re-read
+    once per (tap, shift). Kept for reference; the planned fix is a tiled
+    VMEM-resident kernel (see CLAUDE.md / BENCH_NOTES.md).
     """
 
     features: int
     stride: int = 1
+    shift_radius: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -113,7 +122,80 @@ class ModulatedDeformConv(nn.Module):
         off_y, off_x = offs[..., 0], offs[..., 1]
         mask = jax.nn.sigmoid(om[..., 2 * k * k :])  # [b, oh, ow, 9]
 
-        # base sampling grid per output position and tap
+        weight = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k * k * c, self.features),
+        )
+
+        if self.shift_radius > 0:
+            sampled = self._sample_shift(x, off_y, off_x, mask, oh, ow)
+        else:
+            sampled = self._sample_gather(x, off_y, off_x, mask, oh, ow)
+        out = jnp.einsum(
+            "bhwi,io->bhwo",
+            sampled.reshape(b, oh, ow, k * k * c),
+            weight.astype(jnp.float32),
+        )
+        return out.astype(self.dtype)
+
+    def _sample_shift(self, x, off_y, off_x, mask, oh, ow):
+        """[b, oh, ow, 9, c] deformable samples via masked shifted copies."""
+        b, h, w, c = x.shape
+        k, r = 3, self.shift_radius
+        eps = 1e-4
+        oy = jnp.clip(off_y, -r, r - eps)
+        ox = jnp.clip(off_x, -r, r - eps)
+        y0 = jnp.floor(oy)
+        x0 = jnp.floor(ox)
+        ty = oy - y0
+        tx = ox - x0
+        y0 = y0.astype(jnp.int32)
+        x0 = x0.astype(jnp.int32)
+        w00 = mask * (1 - tx) * (1 - ty)
+        w01 = mask * tx * (1 - ty)
+        w10 = mask * (1 - tx) * ty
+        w11 = mask * tx * ty
+
+        pad = r + 2  # tap (+-1) + radius + right corner (+1)
+        xp = jnp.pad(
+            x.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+        )
+        side = 2 * r + 2
+        st = self.stride
+
+        def body(s, acc):
+            sy = s // side - r
+            sx = s % side - r
+            m = (
+                w00 * ((x0 == sx) & (y0 == sy))
+                + w01 * ((x0 == sx - 1) & (y0 == sy))
+                + w10 * ((x0 == sx) & (y0 == sy - 1))
+                + w11 * ((x0 == sx - 1) & (y0 == sy - 1))
+            )  # [b, oh, ow, 9]
+            contribs = []
+            for ky in range(k):
+                for kx in range(k):
+                    src = jax.lax.dynamic_slice(
+                        xp,
+                        (0, pad + sy + ky - 1, pad + sx + kx - 1, 0),
+                        (b, (oh - 1) * st + 1, (ow - 1) * st + 1, c),
+                    )[:, ::st, ::st]
+                    contribs.append(src)
+            stack = jnp.stack(contribs, axis=3)  # [b, oh, ow, 9, c]
+            return acc + stack * m[..., None]
+
+        return jax.lax.fori_loop(
+            0,
+            side * side,
+            body,
+            jnp.zeros((b, oh, ow, k * k, c), jnp.float32),
+        )
+
+    def _sample_gather(self, x, off_y, off_x, mask, oh, ow):
+        """Exact arbitrary-offset path (bilinear HBM gather)."""
+        b, h, w, c = x.shape
+        k = 3
         ys = jnp.arange(oh, dtype=jnp.float32) * self.stride - 1.0
         xs = jnp.arange(ow, dtype=jnp.float32) * self.stride - 1.0
         ky, kx = jnp.meshgrid(
@@ -125,23 +207,10 @@ class ModulatedDeformConv(nn.Module):
         kx = kx.reshape(-1)
         py = ys[None, :, None, None] + ky[None, None, None, :] + off_y
         px = xs[None, None, :, None] + kx[None, None, None, :] + off_x
-        # NOTE: broadcasting—py: [b, oh, 1->ow? ] fix shapes below
         py = jnp.broadcast_to(py, (b, oh, ow, k * k))
         px = jnp.broadcast_to(px, (b, oh, ow, k * k))
-
-        sampled = _bilinear_gather(x.astype(jnp.float32), py, px)  # [b,oh,ow,9,c]
-        sampled = sampled * mask[..., None]
-        sampled = sampled.reshape(b, oh, ow, k * k * c)
-
-        weight = self.param(
-            "kernel",
-            nn.initializers.he_normal(),
-            (k * k * c, self.features),
-        )
-        out = jnp.einsum(
-            "bhwi,io->bhwo", sampled, weight.astype(jnp.float32)
-        )
-        return out.astype(self.dtype)
+        sampled = _bilinear_gather(x.astype(jnp.float32), py, px)
+        return sampled * mask[..., None]
 
 
 def _bilinear_gather(img, py, px):

@@ -141,3 +141,25 @@ def test_sca_capacity_routing_matches_dense():
     out_d = m_dense.apply(params, query, value, None, ref, mask, shapes)
     out_c = m_cap.apply(params, query, value, None, ref, mask, shapes)
     assert float(jnp.abs(out_d - out_c).max()) < 1e-5
+
+
+def test_dcn_shift_matches_gather():
+    """DCNv2 shift-conv sampling == exact bilinear path within the radius."""
+    import jax
+
+    from bevformer_tpu.models.resnet import ModulatedDeformConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.array(rng.randn(2, 12, 16, 8), jnp.float32)
+    for stride in (1, 2):
+        m_shift = ModulatedDeformConv(features=16, stride=stride, shift_radius=3)
+        m_exact = ModulatedDeformConv(features=16, stride=stride, shift_radius=0)
+        params = m_shift.init(jax.random.PRNGKey(0), x)
+        bias = rng.uniform(
+            -2.5, 2.5, params["params"]["conv_offset"]["bias"].shape
+        ).astype(np.float32)
+        bias[18:] = rng.randn(9) * 0.5
+        params["params"]["conv_offset"]["bias"] = jnp.array(bias)
+        a = np.asarray(m_shift.apply(params, x))
+        e = np.asarray(m_exact.apply(params, x))
+        assert np.abs(a - e).max() < 1e-4

@@ -69,6 +69,9 @@ def main():
     with open(os.path.join(work_dir, "config.json"), "w") as f:
         json.dump({"config": args.config, "overrides": args.cfg_options}, f)
 
+    if cfg.version == "v2":
+        return _train_v2(args, cfg, work_dir)
+
     ds = NuScenesTemporalDataset(
         os.path.join(args.data_root, "nuscenes_infos_temporal_train.pkl"),
         cfg,
@@ -161,6 +164,115 @@ def main():
             ) == 0:
                 _run_eval(cfg, model, state, args.data_root, work_dir, step + 1)
 
+    print("done")
+
+
+def _train_v2(args, cfg, work_dir):
+    """BEVFormerV2 training path (frames history, BN stats, mono head)."""
+    import jax
+    import numpy as np
+
+    from bevformer_tpu.data.dataset_v2 import NuScenesTemporalDatasetV2
+    from bevformer_tpu.models.detector_v2 import BEVFormerV2
+    from bevformer_tpu.runtime import mesh as mesh_lib
+    from bevformer_tpu.runtime import optim
+    from bevformer_tpu.runtime.train_v2 import (
+        BatchV2,
+        TrainStateV2,
+        init_state_v2,
+        make_train_step_v2,
+    )
+
+    ds = NuScenesTemporalDatasetV2(
+        os.path.join(args.data_root, "nuscenes_infos_temporal_train.pkl"),
+        cfg,
+        data_root=args.data_root,
+        seed=args.seed,
+    )
+    print(f"dataset: {len(ds)} samples (v2, frames={cfg.frames})")
+
+    n_dev = len(jax.devices())
+    dp = args.dp or max(1, n_dev // args.sp)
+    mesh = mesh_lib.make_mesh(dp=dp, sp=args.sp)
+    global_bs = dp * cfg.optim.samples_per_gpu
+    steps_per_epoch = max(1, len(ds) // global_bs)
+    total_steps = steps_per_epoch * cfg.optim.total_epochs
+    if args.max_iters:
+        total_steps = min(total_steps, args.max_iters)
+    print(f"mesh dp={dp}; {total_steps} steps")
+
+    model = BEVFormerV2(cfg=cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    use_mono = cfg.num_mono_levels > 0
+
+    def collect(step):
+        samples = []
+        while len(samples) < global_bs:
+            idx = int(
+                jax.random.randint(
+                    jax.random.fold_in(rng, step * 1000 + len(samples)),
+                    (), 0, len(ds),
+                )
+            )
+            s = ds.get_train_sample_v2(idx)
+            if s is not None:
+                samples.append(s)
+
+        def stack(key):
+            return np.stack([s[key] for s in samples])
+
+        mono_targets = None
+        inv_k = None
+        if use_mono:
+            key_map = {
+                "mono_boxes2d": "boxes2d",
+                "mono_classes": "classes",
+                "mono_num_gt": "num_gt",
+                "mono_img_valid": "img_valid",
+                "mono_quat": "box3d_quat",
+                "mono_ctr": "box3d_ctr",
+                "mono_depth": "box3d_depth",
+                "mono_size": "box3d_size",
+                "mono_attributes": "attributes",
+                "mono_speeds": "speeds",
+            }
+            mono_targets = {
+                dst: np.concatenate([s[src] for s in samples])
+                for src, dst in key_map.items()
+            }
+            inv_k = stack("inv_intrinsics")
+        return BatchV2(
+            images=stack("images"),
+            lidar2img=stack("lidar2img"),
+            frame_valid=stack("frame_valid"),
+            flip=stack("flip"),
+            bda_mat=stack("bda_mat"),
+            gt_boxes=stack("gt_boxes"),
+            gt_labels=stack("gt_labels"),
+            num_gt=np.asarray([s["num_gt"] for s in samples], np.int32),
+            inv_intrinsics=inv_k,
+            mono_targets=mono_targets,
+        )
+
+    with mesh_lib.activate(mesh):
+        batch0 = collect(0)
+        state = init_state_v2(model, _Placeholder(), rng, batch0)
+        tx, sched = optim.make_optimizer(cfg.optim, state.params, total_steps)
+        state = TrainStateV2(
+            state.step, state.params, state.batch_stats, tx.init(state.params)
+        )
+        step_fn = make_train_step_v2(model, tx)
+        log_path = os.path.join(work_dir, "train_log.jsonl")
+        t_start = time.time()
+        for step in range(total_steps):
+            batch = mesh_lib.shard_batch(mesh, collect(step))
+            state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+            if step % args.log_interval == 0 or step == total_steps - 1:
+                m = {k: round(float(v), 4) for k, v in metrics.items()}
+                m.update(step=step, time=round(time.time() - t_start, 1))
+                print(json.dumps(m))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(m) + "\n")
     print("done")
 
 
