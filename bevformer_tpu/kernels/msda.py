@@ -158,6 +158,9 @@ def ms_deform_attn_patch(
     out = jnp.zeros((b * h, q, d), jnp.float32)
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         val_l = jax.lax.dynamic_slice_in_dim(val, starts[lvl], sizes[lvl], 1)
+        # NOTE: gathering in bf16 instead of fp32 was measured SLOWER
+        # (641 vs 507 ms at base-SCA shapes) — slice transfer granularity,
+        # not bytes, dominates; keep the fp32 gather
         val_l = val_l.reshape(b * h, hh, ww, d).astype(jnp.float32)
         # 1-pixel zero ring = grid_sample zeros padding
         val_pad = jnp.pad(val_l, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -279,6 +282,153 @@ def ms_deform_attn_onehot(
 
     out = out.reshape(b, h, q, d)
     return jnp.swapaxes(out, 1, 2).reshape(b, q, h * d).astype(value.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shapes", "num_anchors", "window")
+)
+def ms_deform_attn_window(
+    value: jnp.ndarray,  # [B, K, H, D]
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    anchors: jnp.ndarray,  # [B, Q, A, 2] normalized anchor points
+    sampling_locations: jnp.ndarray,  # [B, Q, H, L, P, 2]
+    attention_weights: jnp.ndarray,  # [B, Q, H, L, P]
+    num_anchors: int,
+    window: int = 12,
+) -> jnp.ndarray:
+    """Anchor-window formulation for large-K levels.
+
+    All heads/points of a (query, z-anchor) sample near the shared anchor,
+    so ONE window slice per (query, anchor) — gathered across all heads at
+    once — replaces heads*points*4 corner slices (~32x fewer gather slices;
+    TPU gathers are per-slice latency-bound). In-window sampling is a tiny
+    fused one-hot over window^2 cells. Exact while every sampling point
+    stays within the window around its anchor (points are clamped into it);
+    sampling outside the image still yields exact zeros via edge padding.
+
+    Point p belongs to anchor p // (P // num_anchors) (the z-anchor point
+    distribution of `MSDeformableAttention3D`).
+
+    The window buffer is the dominant allocation (q * A * window^2 * H*D);
+    the query axis is chunked to bound it.
+    """
+    b, k, h, d = value.shape
+    _, q, _, l, p, _ = sampling_locations.shape
+    ws = window
+
+    # chunk queries so the window buffer stays ~<=1.5 GB
+    budget = int(1.5e9)
+    per_q = b * num_anchors * ws * ws * h * d * value.dtype.itemsize
+    qc = max(min(q, budget // max(per_q, 1)), 1)
+    n_chunks = -(-q // qc)
+    if n_chunks > 1:
+        pad = n_chunks * qc - q
+        loc_p = jnp.pad(
+            sampling_locations, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0))
+        )
+        w_p = jnp.pad(attention_weights, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        anc_p = jnp.pad(anchors, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        loc_c = loc_p.reshape((b, n_chunks, qc) + loc_p.shape[2:]).swapaxes(0, 1)
+        w_c = w_p.reshape((b, n_chunks, qc) + w_p.shape[2:]).swapaxes(0, 1)
+        anc_c = anc_p.reshape((b, n_chunks, qc) + anc_p.shape[2:]).swapaxes(0, 1)
+        out = jax.lax.map(
+            lambda t: ms_deform_attn_window(
+                value, spatial_shapes, t[0], t[1], t[2], num_anchors, window
+            ),
+            (anc_c, loc_c, w_c),
+        )  # [n_chunks, B, qc, H*D]
+        out = out.swapaxes(0, 1).reshape(b, n_chunks * qc, h * d)
+        return out[:, :q]
+
+    a = num_anchors
+    ppa = p // a
+    starts, sizes, total = _level_bounds(spatial_shapes)
+    assert total == k
+
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    out = jnp.zeros((b, q, h, d), jnp.float32)
+    for lvl, (hh, wwl) in enumerate(spatial_shapes):
+        val_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], sizes[lvl], 1)
+        # [B, Hh, Ww, H*D], pad so any clamped window start is in bounds and
+        # out-of-image cells are exact zeros; keep the value dtype — the
+        # window buffer dominates memory/bandwidth
+        img = val_l.reshape(b, hh, wwl, h * d)
+        img = jnp.pad(img, ((0, 0), (ws, ws), (ws, ws), (0, 0)))
+
+        # window origin per (query, anchor): centered on the anchor
+        ax = anchors[..., 0].astype(jnp.float32) * wwl - 0.5  # [B, Q, A]
+        ay = anchors[..., 1].astype(jnp.float32) * hh - 0.5
+        ox = jnp.floor(ax).astype(jnp.int32) - ws // 2 + 1
+        oy = jnp.floor(ay).astype(jnp.int32) - ws // 2 + 1
+        # clamp into the padded map: valid starts [0, dim + ws]
+        oxc = jnp.clip(ox + ws, 0, wwl + ws)
+        oyc = jnp.clip(oy + ws, 0, hh + ws)
+
+        win_starts = jnp.stack([oyc, oxc], -1).reshape(b, q * a, 2)
+        windows = jax.vmap(
+            lambda v, s: jax.lax.gather(
+                v,
+                s,
+                dimension_numbers=dnums,
+                slice_sizes=(ws, ws, h * d),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+        )(img, win_starts)  # [B, Q*A, ws, ws, H*D]
+        windows = windows.reshape(b, q, a, ws, ws, h, d)
+
+        # in-window sampling: pixel coords relative to the window origin
+        x = loc[:, :, :, lvl, :, 0] * wwl - 0.5  # [B, Q, H, P]
+        y = loc[:, :, :, lvl, :, 1] * hh - 0.5
+        # anchor index per point
+        pa = jnp.arange(p) // ppa  # [P]
+        ox_p = (oxc - ws)[:, :, None, :]  # [B, Q, 1, A] unpadded origin
+        oy_p = (oyc - ws)[:, :, None, :]
+        relx = x - jnp.take(ox_p, pa, axis=3).astype(jnp.float32)
+        rely = y - jnp.take(oy_p, pa, axis=3).astype(jnp.float32)
+        # clamp strictly inside the window (exact when already inside)
+        eps = 1e-4
+        relx = jnp.clip(relx, 0.0, ws - 1 - eps)
+        rely = jnp.clip(rely, 0.0, ws - 1 - eps)
+        x0 = jnp.floor(relx)
+        y0 = jnp.floor(rely)
+        tx = relx - x0
+        ty = rely - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # fused one-hot over the ws*ws window cells, corners folded
+        cell = jnp.arange(ws * ws, dtype=jnp.int32)
+        wq = jnp.zeros((b, q, h, p, ws * ws), jnp.float32)
+        for dy, dx, wt in (
+            (0, 0, (1 - tx) * (1 - ty)),
+            (0, 1, tx * (1 - ty)),
+            (1, 0, (1 - tx) * ty),
+            (1, 1, tx * ty),
+        ):
+            idx = (y0i + dy) * ws + (x0i + dx)
+            cw = wt * attw[:, :, :, lvl, :]
+            wq = wq + cw[..., None] * (idx[..., None] == cell)
+        # windows per point-anchor: select the anchor's window
+        # [B, Q, A, ws*ws, H, D] x wq -> [B, Q, H, D]
+        win_flat = windows.reshape(b, q, a, ws * ws, h, d)
+        wq_a = wq.reshape(b, q, h, a, ppa, ws * ws)
+        out_l = jnp.einsum(
+            "bqhapc,bqachd->bqhd",
+            wq_a,
+            win_flat,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out = out + out_l
+
+    return out.reshape(b, q, h * d).astype(value.dtype)
 
 
 @functools.partial(

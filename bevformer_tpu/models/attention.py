@@ -68,6 +68,11 @@ class MSDeformableAttention3D(nn.Module):
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 8
+    # >0: route large-K levels through the anchor-window gather (one window
+    # slice per (query, z-anchor) serves all heads/points; see
+    # kernels.msda.ms_deform_attn_window). Points are clamped into the
+    # window (exact while offsets stay within ~window/2 - 1 cells).
+    window: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,6 +122,66 @@ class MSDeformableAttention3D(nn.Module):
         offsets = offsets.reshape(b, q, h, l, p // nz, nz, 2)
         ref = reference_points[:, :, None, None, None, :, :].astype(jnp.float32)
         locations = (ref + offsets).reshape(b, q, h, l, p, 2)
+
+        if self.window > 0:
+            from bevformer_tpu.kernels.msda import (
+                ONEHOT_MAX_K,
+                _level_bounds,
+                ms_deform_attn_window,
+            )
+
+            # NOTE on the z-anchor/point correspondence: `locations`'
+            # point axis is ordered (offset-major, anchor-minor) after the
+            # reshape above, while the window path expects anchor-major
+            # (point p -> anchor p // ppa). Permute to anchor-major.
+            perm = (
+                jnp.arange(p).reshape(p // nz, nz).T.reshape(-1)
+            )  # anchor-major order
+            loc_am = locations[:, :, :, :, perm]
+            w_am = weights[:, :, :, :, perm]
+
+            # windows pay O(window^2 * channels) bandwidth per anchor —
+            # only worth it where the per-item gather count is large
+            big = [
+                i for i, (hh, ww) in enumerate(spatial_shapes)
+                if hh * ww > 4000
+            ]
+            small = [i for i in range(l) if i not in big]
+            starts, sizes, _ = _level_bounds(spatial_shapes)
+
+            def subset(idxs):
+                shp = tuple(spatial_shapes[i] for i in idxs)
+                vv = jnp.concatenate(
+                    [
+                        jax.lax.dynamic_slice_in_dim(v, starts[i], sizes[i], 1)
+                        for i in idxs
+                    ],
+                    axis=1,
+                )
+                ia = jnp.array(idxs)
+                return shp, vv
+
+            out = 0.0
+            if big:
+                shp, vv = subset(big)
+                out = out + ms_deform_attn_window(
+                    vv,
+                    shp,
+                    reference_points,
+                    loc_am[:, :, :, jnp.array(big)],
+                    w_am[:, :, :, jnp.array(big)],
+                    nz,
+                    window=self.window,
+                )
+            if small:
+                shp, vv = subset(small)
+                out = out + ms_deform_attn(
+                    vv,
+                    shp,
+                    locations[:, :, :, jnp.array(small)],
+                    weights[:, :, :, jnp.array(small)],
+                )
+            return out
 
         return ms_deform_attn(v, spatial_shapes, locations, weights)
 
