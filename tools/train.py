@@ -96,20 +96,40 @@ def main():
     model = BEVFormer(cfg=cfg)
     rng = jax.random.PRNGKey(args.seed)
 
+    # epoch-seeded shuffled sampler (the reference's DistributedGroupSampler
+    # semantics, `datasets/samplers/group_sampler.py:62-103`); multi-host
+    # runs shard via num_replicas/rank
+    from bevformer_tpu.data.sampler import GroupShuffleSampler
+
+    sampler = GroupShuffleSampler(
+        len(ds),
+        num_replicas=jax.process_count(),
+        rank=jax.process_index(),
+        seed=args.seed,
+    )
+    sampler_state = {"epoch": -1, "order": [], "pos": 0}
+
+    def next_index(step):
+        epoch = step // steps_per_epoch
+        if epoch != sampler_state["epoch"]:
+            sampler.set_epoch(epoch)
+            sampler_state.update(epoch=epoch, order=sampler.indices(), pos=0)
+        if sampler_state["pos"] >= len(sampler_state["order"]):
+            sampler_state["pos"] = 0
+        idx = sampler_state["order"][sampler_state["pos"]]
+        sampler_state["pos"] += 1
+        return int(idx)
+
     def collect_batch(step):
         samples = []
+        tries = 0
         while len(samples) < global_bs:
-            idx = int(
-                jax.random.randint(
-                    jax.random.fold_in(rng, step * 1000 + len(samples)),
-                    (),
-                    0,
-                    len(ds),
-                )
-            )
-            s = ds.get_train_sample(idx)
+            s = ds.get_train_sample(next_index(step))
+            tries += 1
             if s is not None:
                 samples.append(s)
+            if tries > 10 * global_bs + 100:
+                raise RuntimeError("dataset yielded no valid samples")
         return train.Batch(
             images=np.stack([s["images"] for s in samples]),
             can_bus=np.stack([s["can_bus"] for s in samples]),
