@@ -270,8 +270,28 @@ register_config(
 
 
 def apply_overrides(cfg: BEVFormerConfig, options: Dict[str, str]):
-    """CLI --cfg-options key=val (dots descend into data./optim.)."""
+    """CLI --cfg-options key=val (dots descend into data./optim.).
+
+    Unknown keys raise a named error listing valid fields rather than a raw
+    dataclass TypeError. A leading ``model.`` prefix is accepted as an alias
+    for top-level fields (mmcv-config habit).
+    """
     import ast
+
+    valid = {
+        "": {f.name for f in dataclasses.fields(cfg)},
+        "data": {f.name for f in dataclasses.fields(cfg.data)},
+        "optim": {f.name for f in dataclasses.fields(cfg.optim)},
+    }
+
+    def check(scope: str, field: str, original_key: str):
+        if field not in valid[scope]:
+            where = f"{scope} config" if scope else "config"
+            raise KeyError(
+                f"--cfg-options: unknown key {original_key!r} "
+                f"(no field {field!r} in {where}; valid fields: "
+                f"{', '.join(sorted(valid[scope]))})"
+            )
 
     updates: Dict[str, object] = {}
     sub: Dict[str, Dict[str, object]] = {"data": {}, "optim": {}}
@@ -280,12 +300,17 @@ def apply_overrides(cfg: BEVFormerConfig, options: Dict[str, str]):
             pval = ast.literal_eval(val)
         except (ValueError, SyntaxError):
             pval = val
+        field = key
         if "." in key:
             head, rest = key.split(".", 1)
             if head in sub:
+                check(head, rest, key)
                 sub[head][rest] = pval
                 continue
-        updates[key] = pval
+            if head == "model":
+                field = rest
+        check("", field, key)
+        updates[field] = pval
     if sub["data"]:
         updates["data"] = dataclasses.replace(cfg.data, **sub["data"])
     if sub["optim"]:

@@ -73,3 +73,19 @@ def test_save_tensor(tmp_path):
     import os
 
     assert os.path.exists(p)
+
+
+def test_cfg_overrides_validation():
+    import pytest
+    from bevformer_tpu.configs.config import apply_overrides, get_config
+
+    cfg = get_config("bevformer_tiny")
+    out = apply_overrides(cfg, {"bev_h": "16", "model.bev_w": "24",
+                                "data.scale": "0.5", "optim.lr": "1e-3"})
+    assert out.bev_h == 16 and out.bev_w == 24
+    assert out.data.scale == 0.5 and out.optim.lr == 1e-3
+
+    with pytest.raises(KeyError, match="optim.batch_size"):
+        apply_overrides(cfg, {"optim.batch_size": "1"})
+    with pytest.raises(KeyError, match="unknown key"):
+        apply_overrides(cfg, {"bev_hh": "16"})
