@@ -98,6 +98,8 @@ class BEVFormerConfig:
     tsa_num_points: int = 4
     # static per-camera SCA query capacity (fraction of bev_h*bev_w; 0=dense)
     sca_capacity_ratio: float = 0.0
+    # gradient-checkpoint (jax.checkpoint) each encoder layer during training
+    use_remat: bool = False
     rotate_prev_bev: bool = True
     use_shift: bool = True
     use_can_bus: bool = True

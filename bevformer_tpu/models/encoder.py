@@ -181,6 +181,7 @@ class BEVFormerEncoder(nn.Module):
     num_points_in_pillar: int = 4
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     sca_capacity_ratio: float = 0.0
+    use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -244,8 +245,15 @@ class BEVFormerEncoder(nn.Module):
             reference_points_cam,
             bev_mask,
         )
+        # gradient checkpointing (reference's with_cp / torch.utils.checkpoint,
+        # `mmdet ResNet`-style): recompute each encoder layer in the backward
+        # pass instead of storing its activations; composed with nn.scan so
+        # peak memory is O(1) in depth (prevent_cse is unneeded inside scan)
+        body = _EncoderScanBody
+        if self.use_remat:
+            body = nn.remat(_EncoderScanBody, prevent_cse=False)
         scanned = nn.scan(
-            _EncoderScanBody,
+            body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=nn.broadcast,

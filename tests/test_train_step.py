@@ -120,3 +120,49 @@ class _IdentityTx:
 
     def update(self, grads, state, params=None):
         return grads, state
+
+
+def test_remat_matches_no_remat():
+    """use_remat must not change loss value, gradients, or param tree."""
+    import dataclasses
+
+    from bevformer_tpu.models import BEVFormer
+    from bevformer_tpu.runtime import train
+
+    cfg = mini_config()
+    cfg_r = dataclasses.replace(cfg, use_remat=True)
+    batch = make_batch(cfg, bs=1, t=2, g=4)
+    rng = jax.random.PRNGKey(0)
+
+    model = BEVFormer(cfg=cfg)
+    model_r = BEVFormer(cfg=cfg_r)
+    params = jax.jit(model.init)(
+        rng,
+        batch.images[:, -1],
+        batch.can_bus[:, -1],
+        batch.lidar2img[:, -1],
+        None,
+        jnp.zeros((1,), bool),
+    )
+    # identical param trees: remat must not rename or restructure
+    params_r = jax.jit(model_r.init)(
+        rng,
+        batch.images[:, -1],
+        batch.can_bus[:, -1],
+        batch.lidar2img[:, -1],
+        None,
+        jnp.zeros((1,), bool),
+    )
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_r
+    )
+
+    def total(m, p):
+        loss, _ = train.loss_fn(m, p, batch, jax.random.PRNGKey(1))
+        return loss
+
+    l0, g0 = jax.value_and_grad(lambda p: total(model, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: total(model_r, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
