@@ -295,6 +295,22 @@ def apply_overrides(cfg: BEVFormerConfig, options: Dict[str, str]):
                 f"{', '.join(sorted(valid[scope]))})"
             )
 
+    def coerce(scope: str, field: str, pval, original_key: str, raw: str):
+        # a bool field fed a non-bool (e.g. the typo use_remat=Ture, which
+        # literal_eval leaves as a truthy string) must not silently flip
+        obj = {"": cfg, "data": cfg.data, "optim": cfg.optim}[scope]
+        cur = getattr(obj, field)
+        if isinstance(cur, bool) and not isinstance(pval, bool):
+            raise ValueError(
+                f"--cfg-options: {original_key}={raw!r} is not a bool "
+                f"(use True or False)"
+            )
+        if isinstance(cur, (int, float)) and isinstance(pval, str):
+            raise ValueError(
+                f"--cfg-options: {original_key}={raw!r} is not a number"
+            )
+        return pval
+
     updates: Dict[str, object] = {}
     sub: Dict[str, Dict[str, object]] = {"data": {}, "optim": {}}
     for key, val in options.items():
@@ -307,12 +323,12 @@ def apply_overrides(cfg: BEVFormerConfig, options: Dict[str, str]):
             head, rest = key.split(".", 1)
             if head in sub:
                 check(head, rest, key)
-                sub[head][rest] = pval
+                sub[head][rest] = coerce(head, rest, pval, key, val)
                 continue
             if head == "model":
                 field = rest
         check("", field, key)
-        updates[field] = pval
+        updates[field] = coerce("", field, pval, key, val)
     if sub["data"]:
         updates["data"] = dataclasses.replace(cfg.data, **sub["data"])
     if sub["optim"]:

@@ -89,3 +89,15 @@ def test_cfg_overrides_validation():
         apply_overrides(cfg, {"optim.batch_size": "1"})
     with pytest.raises(KeyError, match="unknown key"):
         apply_overrides(cfg, {"bev_hh": "16"})
+
+
+def test_cfg_overrides_type_guard():
+    import pytest
+    from bevformer_tpu.configs.config import apply_overrides, get_config
+
+    cfg = get_config("bevformer_tiny")
+    assert apply_overrides(cfg, {"use_remat": "True"}).use_remat is True
+    with pytest.raises(ValueError, match="not a bool"):
+        apply_overrides(cfg, {"use_remat": "Ture"})
+    with pytest.raises(ValueError, match="not a number"):
+        apply_overrides(cfg, {"bev_h": "abc"})
