@@ -514,6 +514,140 @@ def ms_deform_attn_grid_shift(
     return out.astype(value.dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shapes", "band_rows", "capacity_ratio")
+)
+def ms_deform_attn_banded(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    *,
+    band_rows: int = 4,
+    capacity_ratio: float = 2.0,
+) -> jnp.ndarray:
+    """Row-banded MXU formulation (round-2 kernel prototype; see
+    BENCH_NOTES.md "per-point banding"). Same semantics as
+    `ms_deform_attn_jnp` provided no band overflows its capacity.
+
+    Each (batch*head, query, point) item is routed to the row band
+    containing floor(y) — its bilinear footprint is always rows
+    {y0, y0+1}, so a one-row halo per band is exact for ARBITRARY
+    learned offsets (per-query banding could not bound the spread).
+    Routed items build a multi-hot row over the band's (band_rows+1)*W
+    local keys and one batched einsum per level runs on the MXU with the
+    band value blocks VMEM-resident, replacing the HBM gather stream.
+
+    Items beyond a band's static capacity (`capacity_ratio` x the mean
+    load) are dropped — callers must size the capacity for exactness,
+    mirroring the SCA capacity routing contract.
+    """
+    b, k, h, d = value.shape
+    _, q, _, l, p, _ = sampling_locations.shape
+    starts, sizes, total = _level_bounds(spatial_shapes)
+    assert total == k
+
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+    val = jnp.swapaxes(value, 1, 2).reshape(b * h, k, d).astype(jnp.float32)
+    bh = b * h
+    n = q * p  # items per (batch*head, level)
+
+    out = jnp.zeros((bh, q, d), jnp.float32)
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        hb = min(band_rows, hh)
+        nb = -(-hh // hb)
+        kb = (hb + 1) * ww  # band keys incl. one halo row
+        cap = max(int(n / nb * capacity_ratio), 8)
+
+        # band value blocks [bh, nb, kb, d]: pad rows to (nb+1)*hb so the
+        # hb-shifted halo slice below stays in range (dynamic_slice clamps
+        # out-of-range starts silently), contiguous reshape — no gather
+        val_l = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 1)
+        pad_rows = (nb + 1) * hb - hh
+        val_pad = jnp.pad(
+            val_l.reshape(bh, hh, ww, d), ((0, 0), (0, pad_rows), (0, 0), (0, 0))
+        )
+        body = val_pad[:, : nb * hb].reshape(bh, nb, hb, ww, d)
+        halo = jax.lax.dynamic_slice_in_dim(
+            val_pad.reshape(bh, -1, d), hb * ww, nb * hb * ww, 1
+        ).reshape(bh, nb, hb, ww, d)[:, :, :1]
+        blocks = jnp.concatenate([body, halo], axis=2).reshape(bh, nb, kb, d)
+
+        # per-item coords [bh, n]
+        x = (loc[:, :, :, lvl, :, 0] * ww - 0.5).swapaxes(1, 2).reshape(bh, n)
+        y = (loc[:, :, :, lvl, :, 1] * hh - 0.5).swapaxes(1, 2).reshape(bh, n)
+        w_l = attw[:, :, :, lvl, :].swapaxes(1, 2).reshape(bh, n)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        band = jnp.clip(y0i // hb, 0, nb - 1)  # [bh, n]
+
+        # capacity routing: rank within band via running one-hot cumsum
+        onehot_band = jax.nn.one_hot(band, nb, dtype=jnp.int32)  # [bh,n,nb]
+        rank = jnp.cumsum(onehot_band, axis=1) - onehot_band  # pre-count
+        rank = jnp.take_along_axis(rank, band[..., None], axis=2)[..., 0]
+        keep = rank < cap
+        slot = jnp.where(keep, band * cap + rank, nb * cap)  # drop -> pad slot
+
+        # per-corner local key + weight for routed items
+        lidx = jnp.zeros((bh, n, 4), jnp.int32)
+        lw = jnp.zeros((bh, n, 4), jnp.float32)
+        for ci, (dy, dx, wt) in enumerate((
+            (0, 0, (1 - tx) * (1 - ty)),
+            (0, 1, tx * (1 - ty)),
+            (1, 0, (1 - tx) * ty),
+            (1, 1, tx * ty),
+        )):
+            cx = x0i + dx
+            cy = y0i + dy
+            valid = (cx >= 0) & (cx < ww) & (cy >= 0) & (cy < hh)
+            lrow = cy - band * hb
+            valid = valid & (lrow >= 0) & (lrow <= hb)
+            li = jnp.clip(lrow, 0, hb) * ww + jnp.clip(cx, 0, ww - 1)
+            lidx = lidx.at[:, :, ci].set(li)
+            lw = lw.at[:, :, ci].set(wt * w_l * valid.astype(jnp.float32))
+
+        # scatter item payloads into [bh, nb*cap (+1 pad)] slot buffers
+        slots = nb * cap
+        qid_item = jnp.broadcast_to(
+            (jnp.arange(n, dtype=jnp.int32) // p)[None, :], (bh, n)
+        )
+        slot_qid = jnp.zeros((bh, slots + 1), jnp.int32)
+        slot_idx = jnp.zeros((bh, slots + 1, 4), jnp.int32)
+        slot_w = jnp.zeros((bh, slots + 1, 4), jnp.float32)
+        bi = jnp.arange(bh)[:, None]
+        slot_qid = slot_qid.at[bi, slot].set(qid_item)
+        slot_idx = slot_idx.at[bi, slot].set(lidx)
+        slot_w = slot_w.at[bi, slot].set(lw)
+        slot_qid = slot_qid[:, :slots].reshape(bh, nb, cap)
+        slot_idx = slot_idx[:, :slots].reshape(bh, nb, cap, 4)
+        slot_w = slot_w[:, :slots].reshape(bh, nb, cap, 4)
+
+        # multi-hot rows over the band keys, 4 corners folded
+        kio = jnp.arange(kb, dtype=jnp.int32)
+        hit = (slot_idx[..., None] == kio).astype(jnp.float32)
+        rows = jnp.einsum("bnsc,bnsck->bnsk", slot_w, hit)
+
+        # the MXU step: band-local matmul, value block stays on-chip
+        slot_out = jnp.einsum(
+            "bnsk,bnkd->bnsd", rows, blocks,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [bh, nb, cap, d]
+
+        # scatter-add back to queries (empty slots carry zero weight)
+        out = out.at[bi, slot_qid.reshape(bh, slots)].add(
+            slot_out.reshape(bh, slots, d)
+        )
+
+    out = out.reshape(b, h, q, d)
+    return jnp.swapaxes(out, 1, 2).reshape(b, q, h * d).astype(value.dtype)
+
+
 # per-level key-count threshold below which the MXU multi-hot path wins
 # (measured on v5e: K=375 -> onehot 7.6ms vs patch 14.6ms; K=2500 ->
 # onehot 8.2ms vs patch 3.7ms; crossover ~800)

@@ -126,3 +126,41 @@ def test_msda_grad_finite():
         assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(gv).sum()) > 0
     assert float(jnp.abs(gl).sum()) > 0
+
+
+@pytest.mark.parametrize(
+    "shapes,heads,points,band_rows",
+    [
+        (((15, 25),), 8, 8, 4),
+        (((16, 22), (8, 11)), 4, 4, 4),
+        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8, 5),
+    ],
+)
+def test_banded_matches_reference(shapes, heads, points, band_rows):
+    """Round-2 banded MXU prototype: exact when capacity is not exceeded.
+
+    Uniform random locations with a generous capacity_ratio guarantee no
+    band overflow, so the result must match the oracle bit-for-bit-ish.
+    """
+    from bevformer_tpu.kernels.msda import ms_deform_attn_banded
+
+    rng = np.random.RandomState(3)
+    b, q, d = 2, 41, 32
+    k = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    value = rng.randn(b, k, heads, d).astype(np.float32)
+    loc = rng.uniform(-0.3, 1.3, size=(b, q, heads, l, points, 2)).astype(
+        np.float32
+    )
+    w = rng.rand(b, q, heads, l, points).astype(np.float32)
+
+    a = np.asarray(
+        ms_deform_attn_jnp(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    )
+    c = np.asarray(
+        ms_deform_attn_banded(
+            jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
+            band_rows=band_rows, capacity_ratio=6.0,
+        )
+    )
+    np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-5)
