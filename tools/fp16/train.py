@@ -15,8 +15,23 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 )
 
+def force_bf16_argv(argv):
+    """Return argv with `dtype=bfloat16` attached to `--cfg-options`.
+
+    When the flag is already present, the override is inserted directly
+    AFTER it so argparse's nargs="*" associates it (appending at the end of
+    argv would leave it dangling or error out).
+    """
+    argv = list(argv)
+    if "--cfg-options" in argv:
+        argv.insert(argv.index("--cfg-options") + 1, "dtype=bfloat16")
+    else:
+        argv.extend(["--cfg-options", "dtype=bfloat16"])
+    return argv
+
+
 if __name__ == "__main__":
-    sys.argv.extend(["--cfg-options", "dtype=bfloat16"]) if "--cfg-options" not in sys.argv else sys.argv.append("dtype=bfloat16")
+    sys.argv = force_bf16_argv(sys.argv)
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
     import importlib.util
 
