@@ -98,6 +98,9 @@ class BEVFormerConfig:
     tsa_num_points: int = 4
     # static per-camera SCA query capacity (fraction of bev_h*bev_w; 0=dense)
     sca_capacity_ratio: float = 0.0
+    # fused Pallas windowed msda kernel for TSA/SCA: 'auto' picks bf16 on a
+    # real TPU and the exact XLA paths on CPU; 'off'|'fp32'|'bf16' force
+    fused_msda: str = "auto"
     # gradient-checkpoint (jax.checkpoint) each encoder layer during training
     use_remat: bool = False
     rotate_prev_bev: bool = True

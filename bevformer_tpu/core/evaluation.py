@@ -269,3 +269,77 @@ def evaluate_detections(
         for k, v in tp_errors.items():
             print(f"  {ERR_NAME_MAPPING[k]}: {v:.4f}")
     return metrics
+
+
+def filter_boxes_by_overlap(
+    boxes: np.ndarray,
+    lidar2img: np.ndarray,
+    img_shape,
+    min_depth: float = 1.0,
+) -> np.ndarray:
+    """Camera-overlap visibility mask for the reference's `overlap_test`
+    evaluation mode (`datasets/nuscnes_eval.py:436-505` +
+    `:575-579`): keep only boxes whose (gravity) center projects inside
+    MORE THAN ONE camera image. The devkit's `center_in_image` requires
+    depth > 1 m and the pixel strictly inside the image.
+
+    boxes: [N, >=3] with gravity-center xyz in the lidar frame;
+    lidar2img: [cams, 4, 4]; img_shape: (h, w) UNPADDED camera size.
+    Returns a boolean keep-mask [N].
+    """
+    boxes = np.asarray(boxes, np.float64)
+    if len(boxes) == 0:
+        return np.zeros((0,), bool)
+    centers = np.concatenate(
+        [boxes[:, :3], np.ones((len(boxes), 1))], axis=1
+    )  # [N, 4]
+    proj = np.einsum("cij,nj->cni", np.asarray(lidar2img, np.float64), centers)
+    z = proj[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xy = proj[..., :2] / np.maximum(z[..., None], 1e-9)
+    h, w = img_shape
+    vis = (
+        (z > min_depth)
+        & (xy[..., 0] > 0)
+        & (xy[..., 0] < w)
+        & (xy[..., 1] > 0)
+        & (xy[..., 1] < h)
+    )  # [cams, N]
+    return vis.sum(axis=0) > 1
+
+
+def apply_overlap_filter(results, gt_by_token, lidar2img_by_token, img_shape):
+    """Filter predictions AND ground truth to camera-overlap regions
+    (in-place semantics of `NuScenesEval_custom(overlap_test=True)`).
+    Box z is bottom-center here (the results/gt convention); centers are
+    lifted to gravity z for projection."""
+
+    def lift(b):
+        b = np.array(b, np.float64)
+        if len(b):
+            b = b.copy()
+            b[:, 2] += 0.5 * b[:, 5]
+        return b
+
+    out_results = []
+    for r in results:
+        l2i = lidar2img_by_token[r["token"]]
+        keep = filter_boxes_by_overlap(lift(r["boxes_3d"]), l2i, img_shape)
+        out_results.append(
+            dict(
+                r,
+                boxes_3d=np.asarray(r["boxes_3d"])[keep],
+                scores_3d=np.asarray(r["scores_3d"])[keep],
+                labels_3d=np.asarray(r["labels_3d"])[keep],
+            )
+        )
+    out_gt = {}
+    for token, g in gt_by_token.items():
+        keep = filter_boxes_by_overlap(
+            lift(g["boxes"]), lidar2img_by_token[token], img_shape
+        )
+        out_gt[token] = dict(
+            g, boxes=np.asarray(g["boxes"])[keep],
+            labels=np.asarray(g["labels"])[keep],
+        )
+    return out_results, out_gt

@@ -690,22 +690,14 @@ def ms_deform_attn(
 ) -> jnp.ndarray:
     """Dispatching entry point used by the model modules.
 
-    impl: 'auto' | 'jnp' | 'patch' | 'pallas'. 'auto' picks the Pallas
-    kernel when supported, else the patch-gather XLA path.
+    impl: 'auto' | 'jnp' | 'onehot' | 'patch'. 'auto' routes each level to
+    its best XLA path (small K -> MXU multi-hot, large K -> chunked patch
+    gather). The fused Pallas kernel (`msda_pallas.ms_deform_attn_pallas`)
+    is opted into by the attention modules directly — it requires the
+    caller to present items in a row-coherent order, which a generic
+    dispatcher cannot assume.
     """
     spatial_shapes = tuple((int(a), int(b)) for a, b in spatial_shapes)
-    if impl in ("auto", "pallas"):
-        from bevformer_tpu.kernels import msda_pallas
-
-        if msda_pallas.supported(value, spatial_shapes, sampling_locations):
-            return msda_pallas.ms_deform_attn_pallas(
-                value, spatial_shapes, sampling_locations, attention_weights
-            )
-        if impl == "pallas":
-            raise ValueError(
-                "Pallas msda kernel does not support this shape: "
-                f"value={value.shape} levels={spatial_shapes}"
-            )
     if impl == "jnp":
         return ms_deform_attn_jnp(
             value, spatial_shapes, sampling_locations, attention_weights

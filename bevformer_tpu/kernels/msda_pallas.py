@@ -1,94 +1,177 @@
 """Fused Pallas TPU kernel for multi-scale deformable attention.
 
-Why: XLA's gather on TPU costs ~8-30 ns *per gathered slice*; the deformable
-attention of a bevformer_tiny forward spends ~100 ms of 111 ms there. The
-TPU vector core has a per-lane `dynamic_gather` instruction (exposed to
-Pallas via `jnp.take_along_axis(x, idx, axis=0)` with idx.shape == x.shape)
-that permutes an entire [K, 128] register-resident block per issue.
+Replaces the reference's CUDA `ms_deform_attn_forward`
+(`/root/reference/projects/mmdet3d_plugin/bevformer/modules/
+multi_scale_deformable_attn_function.py:15-124`) on the hot encoder paths.
 
-Kernel layout (one call per feature level):
-  * 4 heads are packed into the 128-lane axis (4 x Dh=32), so ONE gather
-    row serves 4 heads with *different* indices (per-lane independence).
-  * the (query, point, corner) work-list is flattened row-wise; each grid
-    step gathers up to K rows from the VMEM-resident value block, applies
-    the fused (bilinear x attention) weight, and reduces the 4*P rows of
-    each query on-chip.
-  * out-of-bounds corners arrive with weight 0 and a clamped (safe) index,
-    reproducing grid_sample zeros padding exactly.
+Why a kernel: TPUs have no fast arbitrary gather. The XLA formulations are
+either latency-bound (patch gather: ~1.7 us/slice) or bandwidth-bound (the
+pure-XLA banded prototype materializes the multi-hot rows tensor in HBM and
+loses 2.6x). Round-2 decomposition benches added a second constraint: XLA
+scatter on TPU costs ~100 ns per row, so ANY per-item scatter/permute
+around the kernel (capacity-slot routing, scatter-add back) costs seconds
+at base scale. This design has NO scatters:
 
-Forward-only fusion; the backward pass uses the XLA patch-gather path via
-jax.custom_vjp (training steps are compile-once, and the backward gathers
-are scatter-adds XLA handles adequately).
+  * Items — one (batch*head, query, point) sample each — are processed in
+    CALLER order. The caller makes that order row-coherent (TSA/BEV queries
+    are grid-ordered already; SCA sorts its per-camera items by projected
+    anchor row ONCE per frame).
+  * The value map of each level is pre-tiled once per frame
+    (`prepare_window_values`) into OVERLAPPING row windows: window j holds
+    image rows [j*stride, j*stride + stride + halo], transposed to
+    [(rows)*D, WWp] so the kernel contracts over columns on the MXU.
+  * For each 256-item tile, the window index is computed in XLA from the
+    tile's sampled-row midrange and handed to the kernel via scalar
+    prefetch (`PrefetchScalarGridSpec`) — the BlockSpec index_map reads it,
+    so consecutive tiles reuse the VMEM-resident block (sorted order makes
+    the index monotone).
+  * The kernel builds the per-tile column-weight matrix `wcol[WWp, CT]`
+    with two iota-compares in registers (factorized bilinear payload:
+    column pair wx0/wx1 + row pair wy0/wy1, attention weight and
+    grid_sample zero-padding validity folded in), contracts
+    `V[(rows)*D, WWp] @ wcol` on the MXU, and combines the row chunks with
+    runtime row compares against the window origin. Items whose sampled
+    rows fall outside their tile's window contribute ZERO (same contract
+    as grid_sample OOB) — `window_drop_mass` audits the lost weight, and
+    callers size stride/halo so it is 0 in practice.
+  * Output returns in item order: the caller reduces points per query with
+    a dense reshape-sum. No scatter anywhere.
 
-Validated against `msda.ms_deform_attn_jnp` in tests/test_msda_pallas.py.
+The backward pass reuses the XLA patch-gather path via `jax.custom_vjp`
+(compile-once training; backward is scatter-add dominated, which XLA
+handles adequately at training batch sizes).
+
+Validated against `msda.ms_deform_attn_jnp` (incl. out-of-bounds sampling
+locations) in tests/test_msda.py::test_windowed_pallas_* via interpret
+mode, and on-device by tools/bench_msda_kernel.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
-HEAD_PACK = 4  # heads packed into the lane axis (Dh=32 each)
+from bevformer_tpu.kernels.msda import _level_bounds
+
+LANE = 128
 
 
-def supported(value, spatial_shapes, sampling_locations) -> bool:
-    # DISABLED: Mosaic's tpu.dynamic_gather only shuffles within a single
-    # (8, 128) vreg along the gather dimension ("Multiple source vregs along
-    # gather dimension" compile error for K > 8). Arbitrary-K gathers are
-    # instead served by the MXU multi-hot path (`msda.ms_deform_attn_onehot`)
-    # for small K and the 2x2-patch XLA gather otherwise. This kernel is
-    # kept for the in-vreg case and as the basis for a future tiled kernel.
-    return False
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def _plan(q: int, p4: int, k: int):
-    """queries-per-chunk and chunk count for the row-folded work list."""
-    qc = max(k // p4, 1)
-    qc = min(qc, q)
-    n_chunks = -(-q // qc)
-    rows = qc * p4  # rows used per chunk (<= k)
-    return qc, n_chunks, rows
+def _n_windows(hh: int, stride: int) -> int:
+    return max(-(-hh // stride), 1)
 
 
-def _gather_kernel(p4, idx_ref, w_ref, value_ref, out_ref):
-    """Grid (G, C): value [K, 128] resident; idx/w [K, 128] per chunk.
-
-    Rows are query-major with p4 = 4*num_points items per query; the whole
-    chunk is gathered in one per-lane dynamic_gather, weighted, and folded.
-    """
-    v = value_ref[0]  # [K, 128]
-    idx = idx_ref[0, 0]  # [K, 128]
-    w = w_ref[0, 0]
-    gathered = jnp.take_along_axis(v, idx, axis=0)
-    weighted = gathered * w
-    qc = out_ref.shape[2]
-    w3 = weighted[: qc * p4].reshape(qc, p4, LANES)
-    out_ref[0, 0] = w3.sum(axis=1)
-
-
-def _level_attn(
-    value_l: jnp.ndarray,  # [B, Kl, H, 32] fp32
-    hh: int,
-    ww: int,
-    loc_l: jnp.ndarray,  # [B, Q, H, P, 2]
-    attw_l: jnp.ndarray,  # [B, Q, H, P]
+def prepare_window_values(
+    value: jnp.ndarray,  # [B, K, H, D]
+    spatial_shapes: Tuple[Tuple[int, int], ...],
     *,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    b, k, h, d = value_l.shape
-    _, q, _, p, _ = loc_l.shape
-    g = (b * h) // HEAD_PACK
-    p4 = 4 * p
+    stride: int = 8,
+    halo: int = 8,
+    compute_dtype=jnp.float32,
+):
+    """Pre-tile the value maps into per-level overlapping row-window blocks.
 
-    # ---- work list: corner indices + fused weights, [B, H, Q*P*4] ----
-    x = loc_l[..., 0] * ww - 0.5  # [B, Q, H, P]
+    Returns a list of [B*H, nw, (stride+halo+1)*D, WWp] arrays; window j
+    holds rows [j*stride, j*stride + stride + halo] (zero-padded past the
+    image). ~(1 + (halo+1)/stride)x the value bytes; hoist out of loops
+    whose value is loop-invariant (the 6 encoder layers share one set of
+    camera features)."""
+    b, k, h, d = value.shape
+    bh = b * h
+    starts, sizes, total = _level_bounds(spatial_shapes)
+    assert total == k
+    val = jnp.swapaxes(value, 1, 2).reshape(bh, k, d)
+
+    wrows = stride + halo + 1
+    out = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        wwp = _round_up(ww, LANE)
+        img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 1)
+        img = img.reshape(bh, hh, ww, d)
+        img = jnp.pad(
+            img,
+            ((0, 0), (0, (nw - 1) * stride + wrows - hh), (0, wwp - ww), (0, 0)),
+        )
+        # overlapping windows: stack `wrows` stride-shifted row slices
+        wins = jnp.stack(
+            [img[:, j * stride : j * stride + wrows] for j in range(nw)],
+            axis=1,
+        )  # [bh, nw, wrows, wwp, d]
+        wins = wins.transpose(0, 1, 2, 4, 3).reshape(bh, nw, wrows * d, wwp)
+        out.append(wins.astype(compute_dtype))
+    return out
+
+
+def _kernel(wrows: int, d: int, stride: int, compute_dtype,
+            jrow_ref, pay_ref, val_ref, out_ref):
+    """One (batch*head, item-tile) step.
+
+    jrow_ref: scalar-prefetch [bh, nt] window index per tile.
+    pay_ref:  [1, 8, CT] f32 — channels (x0, wx0, wx1, y0, wy0, wy1, 0, 0);
+              indices stored as exact f32 integers, y0 GLOBAL image row.
+    val_ref:  [1, 1, wrows*D, WWp] — this tile's window block.
+    out_ref:  [1, D, CT] f32 — per-item sampled value.
+    """
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    j = jrow_ref[i, t]
+
+    pay = pay_ref[0]
+    x0 = pay[0:1]
+    wx0 = pay[1:2]
+    wx1 = pay[2:3]
+    y0 = pay[3:4]
+    wy0 = pay[4:5]
+    wy1 = pay[5:6]
+
+    val = val_ref[0, 0]
+    wwp = val.shape[-1]
+    ct = pay.shape[-1]
+
+    cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)  # int: tpu.iota
+    xi = x0.astype(jnp.int32)
+    wcol = jnp.where(cio == xi, wx0, 0.0) + jnp.where(cio == xi + 1, wx1, 0.0)
+
+    # f32 mode must ask for HIGHEST or the MXU silently truncates the
+    # operands to bf16 (measured 3e-3 rel err on v5e)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    tmat = jnp.dot(
+        val.astype(compute_dtype),
+        wcol.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [wrows*D, CT]
+
+    # combine rows: global row of window-chunk r is j*stride + r; items
+    # whose y0 misses every chunk contribute zero (out-of-window drop)
+    base = (j * stride).astype(jnp.float32)
+    acc = jnp.zeros((d, ct), jnp.float32)
+    for r in range(wrows):
+        fr = base + float(r)
+        wr = jnp.where(y0 == fr, wy0, 0.0) + jnp.where(y0 == fr - 1.0, wy1, 0.0)
+        acc = acc + wr * tmat[r * d : (r + 1) * d]
+    out_ref[0] = acc
+
+
+def _payload_level(loc_l, attw_l, hh, ww):
+    """Factorized bilinear payload for one level.
+
+    loc_l [bh, n, 2] normalized, attw_l [bh, n] ->
+    (payload [bh, 8, n] f32, y0i [bh, n] int32)."""
+    x = loc_l[..., 0] * ww - 0.5
     y = loc_l[..., 1] * hh - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -97,109 +180,249 @@ def _level_attn(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    idx_c, w_c = [], []
-    for dy, dx, wt in (
-        (0, 0, (1 - tx) * (1 - ty)),
-        (0, 1, tx * (1 - ty)),
-        (1, 0, (1 - tx) * ty),
-        (1, 1, tx * ty),
-    ):
-        cx = x0i + dx
-        cy = y0i + dy
-        valid = (cx >= 0) & (cx < ww) & (cy >= 0) & (cy < hh)
-        idx = jnp.clip(cy, 0, hh - 1) * ww + jnp.clip(cx, 0, ww - 1)
-        idx_c.append(idx)
-        w_c.append(wt * attw_l * valid.astype(jnp.float32))
-    # [B, Q, H, P, 4] -> [B, H, Q, P*4]
-    idx_all = jnp.stack(idx_c, -1).transpose(0, 2, 1, 3, 4).reshape(b, h, q, p4)
-    w_all = jnp.stack(w_c, -1).transpose(0, 2, 1, 3, 4).reshape(b, h, q, p4)
+    vx0 = (x0i >= 0) & (x0i < ww)
+    vx1 = (x0i >= -1) & (x0i < ww - 1)
+    vy0 = (y0i >= 0) & (y0i < hh)
+    vy1 = (y0i >= -1) & (y0i < hh - 1)
 
-    qc, n_chunks, rows = _plan(q, p4, k)
-    q_pad = qc * n_chunks
-    pad_q = q_pad - q
-    if pad_q:
-        idx_all = jnp.pad(idx_all, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-        w_all = jnp.pad(w_all, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-
-    # chunk rows: [B, H, C, qc*p4] -> pad rows to K
-    idx_all = idx_all.reshape(b, h, n_chunks, qc * p4)
-    w_all = w_all.reshape(b, h, n_chunks, qc * p4)
-    pad_r = k - qc * p4
-    if pad_r:
-        idx_all = jnp.pad(idx_all, ((0, 0), (0, 0), (0, 0), (0, pad_r)))
-        w_all = jnp.pad(w_all, ((0, 0), (0, 0), (0, 0), (0, pad_r)))
-
-    # pack heads into lanes: [B, H, C, K] -> [G, C, K, 128]
-    def pack(a, dtype):
-        a = a.reshape(b, g // b if b else g, HEAD_PACK, n_chunks, k)
-        a = a.transpose(0, 1, 3, 4, 2)  # [B, G/B, C, K, 4]
-        a = jnp.broadcast_to(a[..., None], a.shape + (d,))
-        return a.reshape(b * (h // HEAD_PACK), n_chunks, k, HEAD_PACK * d).astype(dtype)
-
-    idx_packed = pack(idx_all, jnp.int32)
-    w_packed = pack(w_all, jnp.float32)
-
-    # value: [B, K, H, 32] -> [G, K, 128]
-    val = value_l.transpose(0, 2, 1, 3).reshape(b, h // HEAD_PACK, HEAD_PACK, k, d)
-    val = val.transpose(0, 1, 3, 2, 4).reshape(g, k, HEAD_PACK * d)
-    val = val.astype(jnp.float32)
-
-    out = pl.pallas_call(
-        functools.partial(_gather_kernel, p4),
-        grid=(g, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, 1, k, LANES), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k, LANES), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, LANES), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+    # clip to -1 so corner1's index (x0+1) stays exact when corner0 is out
+    # of range on the left; out-of-range corners carry weight 0
+    x0c = jnp.clip(x0i, -1, ww - 1).astype(jnp.float32)
+    aw = attw_l
+    payload = jnp.stack(
+        [
+            x0c,
+            aw * (1.0 - tx) * vx0,
+            aw * tx * vx1,
+            y0,
+            (1.0 - ty) * vy0,
+            ty * vy1,
+            jnp.zeros_like(aw),
+            jnp.zeros_like(aw),
         ],
-        out_specs=pl.BlockSpec((1, 1, qc, LANES), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, n_chunks, qc, LANES), jnp.float32),
-        interpret=interpret,
-    )(idx_packed, w_packed, val)
-
-    # [G, C, qc, 128] -> [B, Q, H, 32]
-    out = out.reshape(b, h // HEAD_PACK, q_pad, HEAD_PACK, d)[:, :, :q]
-    out = out.transpose(0, 2, 1, 3, 4).reshape(b, q, h, d)
-    return out
+        axis=1,
+    )  # [bh, 8, n]
+    return payload, y0i
 
 
-def _forward(value, spatial_shapes, sampling_locations, attention_weights,
-             *, interpret=False):
+def _tile_windows(y0i, nt, ct, stride, wrows, nw):
+    """Per-tile window index. The window [j*stride, j*stride + wrows - 1]
+    must cover rows [lo, hi+1] (both bilinear corners of every item); when
+    the tile's spread fits, clamp the centered choice into the covering
+    range so the drop mass is exactly zero."""
+    y0t = y0i.reshape(y0i.shape[0], nt, ct)
+    lo = y0t.min(-1)
+    hi = y0t.max(-1)
+    center = (lo + hi + 1 - wrows) // 2  # ideal window start row
+    j_ideal = (center + stride // 2) // stride
+    jmin = -((wrows - 2 - hi) // stride)  # ceil((hi+2-wrows)/stride)
+    jmax = jnp.floor_divide(lo, stride)
+    j = jnp.clip(jnp.clip(j_ideal, jmin, jmax), 0, nw - 1)
+    return j.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spatial_shapes",
+        "stride",
+        "halo",
+        "cap_tile",
+        "compute_dtype",
+        "interpret",
+    ),
+)
+def _forward(
+    value,
+    spatial_shapes,
+    sampling_locations,
+    attention_weights,
+    window_values=None,
+    *,
+    stride=8,
+    halo=8,
+    cap_tile=256,
+    compute_dtype=jnp.float32,
+    interpret=False,
+):
+    """Items ([b, q, h, l, p] flattened to (q, p) per batch*head) must be
+    row-coherent within each `cap_tile` chunk for lossless sampling; see
+    module docstring."""
     b, k, h, d = value.shape
     _, q, _, l, p, _ = sampling_locations.shape
-    loc = sampling_locations.astype(jnp.float32)
-    attw = attention_weights.astype(jnp.float32)
-    out = jnp.zeros((b, q, h, d), jnp.float32)
-    start = 0
-    for lvl, (hh, ww) in enumerate(spatial_shapes):
-        val_l = jax.lax.dynamic_slice_in_dim(value, start, hh * ww, 1)
-        out = out + _level_attn(
-            val_l.astype(jnp.float32),
-            hh,
-            ww,
-            loc[:, :, :, lvl],
-            attw[:, :, :, lvl],
-            interpret=interpret,
+    bh, n = b * h, q * p
+    ct = cap_tile
+    n_pad = _round_up(n, ct)
+    nt = n_pad // ct
+    wrows = stride + halo + 1
+
+    if window_values is None:
+        window_values = prepare_window_values(
+            value, spatial_shapes, stride=stride, halo=halo,
+            compute_dtype=compute_dtype,
         )
-        start += hh * ww
-    return out.reshape(b, q, h * d).astype(value.dtype)
+
+    # [b, q, h, l, p, *] -> [bh, n, l, *]
+    loc = (
+        sampling_locations.astype(jnp.float32)
+        .transpose(0, 2, 1, 4, 3, 5)
+        .reshape(bh, n, l, 2)
+    )
+    attw = (
+        attention_weights.astype(jnp.float32)
+        .transpose(0, 2, 1, 4, 3)
+        .reshape(bh, n, l)
+    )
+    if n_pad != n:
+        # edge-pad so trailing fake items share the last tile's rows
+        loc = jnp.pad(loc, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)),
+                      mode="edge")
+        attw = jnp.pad(attw, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    out = jnp.zeros((bh, d, n_pad), jnp.float32)
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        wwp = _round_up(ww, LANE)
+        rm = wrows * d
+        vb = window_values[lvl]
+        assert vb.shape == (bh, nw, rm, wwp), (vb.shape, (bh, nw, rm, wwp))
+
+        payload, y0i = _payload_level(loc[:, :, lvl], attw[:, :, lvl], hh, ww)
+        jrow = _tile_windows(y0i, nt, ct, stride, wrows, nw)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, nt),
+            in_specs=[
+                pl.BlockSpec((1, 8, ct), lambda i, t, jr: (i, 0, t)),
+                pl.BlockSpec((1, 1, rm, wwp), lambda i, t, jr: (i, jr[i, t], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, d, ct), lambda i, t, jr: (i, 0, t)),
+        )
+        level_out = pl.pallas_call(
+            functools.partial(_kernel, wrows, d, stride, compute_dtype),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bh, d, n_pad), jnp.float32),
+            interpret=interpret,
+        )(jrow, payload, vb)
+        out = out + level_out
+
+    out = out[:, :, :n]
+    # reduce points per query (dense, no scatter), restore [B, Q, H*D]
+    out = out.reshape(b, h, d, q, p).sum(-1)
+    return out.transpose(0, 3, 1, 2).reshape(b, q, h * d).astype(value.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights):
-    return _forward(value, spatial_shapes, sampling_locations, attention_weights)
+def window_drop_mass(
+    spatial_shapes, sampling_locations, attention_weights, *,
+    stride=8, halo=8, cap_tile=256,
+):
+    """Audit: per-level total attention weight lost to out-of-window items
+    (0.0 = the kernel is exact vs the oracle for this input order)."""
+    b, q, h, l, p, _ = sampling_locations.shape
+    bh, n = b * h, q * p
+    ct = cap_tile
+    n_pad = _round_up(n, ct)
+    nt = n_pad // ct
+    wrows = stride + halo + 1
+    loc = (
+        sampling_locations.astype(jnp.float32)
+        .transpose(0, 2, 1, 4, 3, 5)
+        .reshape(bh, n, l, 2)
+    )
+    attw = (
+        attention_weights.astype(jnp.float32)
+        .transpose(0, 2, 1, 4, 3)
+        .reshape(bh, n, l)
+    )
+    if n_pad != n:
+        loc = jnp.pad(loc, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)),
+                      mode="edge")
+        attw = jnp.pad(attw, ((0, 0), (0, n_pad - n), (0, 0)))
+    dropped = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        y = loc[:, :, lvl, 1] * hh - 0.5
+        y0 = jnp.floor(y)
+        ty = y - y0
+        y0i = y0.astype(jnp.int32)
+        jrow = _tile_windows(y0i, nt, ct, stride, wrows, nw)
+        base = jnp.repeat(jrow * stride, ct, axis=1)
+        # exact lost bilinear mass: each corner row must itself be inside
+        # the window AND the image to contribute
+        wy0 = (1.0 - ty) * ((y0i >= 0) & (y0i < hh))
+        wy1 = ty * ((y0i >= -1) & (y0i < hh - 1))
+        out0 = (y0i < base) | (y0i > base + wrows - 1)
+        out1 = (y0i + 1 < base) | (y0i + 1 > base + wrows - 1)
+        lost = attw[:, :, lvl] * (wy0 * out0 + wy1 * out1)
+        dropped.append(float(lost.sum()))
+    return dropped
 
 
-def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
-    out = _forward(value, spatial_shapes, sampling_locations, attention_weights)
-    return out, (value, sampling_locations, attention_weights)
+def resolve_impl(mode: str) -> str:
+    """Resolve a config `fused_msda` mode to an execution mode.
+
+    'auto' -> 'bf16' on a real TPU backend, 'off' elsewhere (CPU tests and
+    goldens keep the exact XLA paths). 'off' | 'fp32' | 'bf16' pass
+    through. fp32 mode is exact (HIGHEST-precision MXU passes) but ~2x the
+    kernel cost of bf16."""
+    if mode == "auto":
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            return "off"
+        return "bf16" if platform == "tpu" else "off"
+    assert mode in ("off", "fp32", "bf16"), mode
+    return mode
 
 
-def _bwd(spatial_shapes, res, g):
+def supported(value, spatial_shapes, sampling_locations) -> bool:
+    """The fused kernel serves any static shape with head_dim % 8 == 0 on a
+    real TPU backend (Mosaic). CPU tests exercise it via interpret mode."""
+    d = value.shape[-1]
+    if d % 8 != 0:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return platform == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7))
+def _pallas_vjp(
+    value,
+    spatial_shapes,
+    sampling_locations,
+    attention_weights,
+    stride,
+    halo,
+    compute_dtype,
+    interpret,
+):
+    return _forward(
+        value,
+        spatial_shapes,
+        sampling_locations,
+        attention_weights,
+        stride=stride,
+        halo=halo,
+        compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+
+
+def _fwd(value, spatial_shapes, loc, attw, stride, halo, compute_dtype,
+         interpret):
+    out = _forward(
+        value, spatial_shapes, loc, attw,
+        stride=stride, halo=halo, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    return out, (value, loc, attw)
+
+
+def _bwd(spatial_shapes, stride, halo, compute_dtype, interpret, res, g):
     from bevformer_tpu.kernels.msda import ms_deform_attn_patch
 
     value, loc, attw = res
@@ -212,4 +435,38 @@ def _bwd(spatial_shapes, res, g):
     return vjp(g)
 
 
-ms_deform_attn_pallas.defvjp(_fwd, _bwd)
+_pallas_vjp.defvjp(_fwd, _bwd)
+
+
+def ms_deform_attn_pallas(
+    value,
+    spatial_shapes,
+    sampling_locations,
+    attention_weights,
+    *,
+    stride=8,
+    halo=8,
+    compute_dtype=jnp.float32,
+):
+    """Fused windowed TPU deformable attention (see module docstring).
+
+    Exact (vs `ms_deform_attn_jnp`) whenever each 256-item tile's sampled
+    rows fit its stride+halo+1-row window — guaranteed for row-coherent
+    item orders with offsets within the halo; audit with
+    `window_drop_mass`. Differentiable (backward = XLA patch gather).
+
+    Off-TPU (unit tests) the kernel runs in interpreter mode."""
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        interpret = True
+    return _pallas_vjp(
+        value,
+        spatial_shapes,
+        sampling_locations,
+        attention_weights,
+        stride,
+        halo,
+        compute_dtype,
+        interpret,
+    )

@@ -34,6 +34,16 @@ import numpy as np
 from bevformer_tpu.kernels import ms_deform_attn
 
 
+def _fused_mode(mode: str) -> str:
+    from bevformer_tpu.kernels.msda_pallas import resolve_impl
+
+    return resolve_impl(mode)
+
+
+def _fused_dtype(mode: str):
+    return jnp.bfloat16 if mode == "bf16" else jnp.float32
+
+
 def _grid_init_bias(num_heads: int, num_levels: int, num_points: int) -> np.ndarray:
     """Deformable-DETR sampling-offset bias init (circular per-head spread)."""
     thetas = np.arange(num_heads, dtype=np.float32) * (2.0 * math.pi / num_heads)
@@ -73,6 +83,15 @@ class MSDeformableAttention3D(nn.Module):
     # kernels.msda.ms_deform_attn_window). Points are clamped into the
     # window (exact while offsets stay within ~window/2 - 1 cells).
     window: int = 0
+    # fused Pallas windowed kernel: 'auto' (bf16 on TPU, off on CPU),
+    # 'off', 'fp32', 'bf16'. Items are (query, z-anchor) pairs sorted by
+    # projected anchor row so each kernel tile is row-coherent.
+    fused_msda: str = "off"
+    # window geometry: halo must cover the learned offset spread (the
+    # grid-init bias alone reaches num_points rows) plus the per-tile
+    # anchor spread; audit with msda_pallas.window_drop_mass
+    fused_stride: int = 8
+    fused_halo: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +141,44 @@ class MSDeformableAttention3D(nn.Module):
         offsets = offsets.reshape(b, q, h, l, p // nz, nz, 2)
         ref = reference_points[:, :, None, None, None, :, :].astype(jnp.float32)
         locations = (ref + offsets).reshape(b, q, h, l, p, 2)
+
+        mode = _fused_mode(self.fused_msda)
+        if mode != "off":
+            # fused windowed kernel: items = (query, z-anchor) pairs
+            # sorted by projected anchor row so every kernel tile is
+            # row-coherent (the anchors of ONE query span too many image
+            # rows to sort at query granularity). The permutation depends
+            # only on the frame-constant reference points.
+            from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
+
+            ppa = p // nz
+            # anchor-minor point axis -> explicit anchor axis next to q
+            loc_a = (
+                locations.reshape(b, q, h, l, ppa, nz, 2)
+                .transpose(0, 1, 5, 2, 3, 4, 6)
+                .reshape(b, q * nz, h, l, ppa, 2)
+            )
+            w_a = (
+                weights.reshape(b, q, h, l, ppa, nz)
+                .transpose(0, 1, 5, 2, 3, 4)
+                .reshape(b, q * nz, h, l, ppa)
+            )
+            key = reference_points[..., 1].astype(jnp.float32).reshape(b, q * nz)
+            perm = jnp.argsort(key, axis=1)
+            inv = jnp.argsort(perm, axis=1)
+            loc_s = jnp.take_along_axis(
+                loc_a, perm[:, :, None, None, None, None], axis=1
+            )
+            w_s = jnp.take_along_axis(
+                w_a, perm[:, :, None, None, None], axis=1
+            )
+            out_s = ms_deform_attn_pallas(
+                v, spatial_shapes, loc_s, w_s,
+                stride=self.fused_stride, halo=self.fused_halo,
+                compute_dtype=_fused_dtype(mode),
+            )  # [b, q*nz, h*dh]
+            out = jnp.take_along_axis(out_s, inv[:, :, None], axis=1)
+            return out.reshape(b, q, nz, h * dh).sum(axis=2).astype(out_s.dtype)
 
         if self.window > 0:
             from bevformer_tpu.kernels.msda import (
@@ -207,6 +264,8 @@ class SpatialCrossAttention(nn.Module):
     # static-shape equivalent — top-`capacity` visible queries per camera,
     # identical numerics whenever capacity >= the visible count.
     capacity_ratio: float = 0.0
+    # fused Pallas windowed kernel mode, forwarded to the inner attention
+    fused_msda: str = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -233,6 +292,7 @@ class SpatialCrossAttention(nn.Module):
             num_heads=self.num_heads,
             num_levels=self.num_levels,
             num_points=self.num_points,
+            fused_msda=self.fused_msda,
             dtype=self.dtype,
             name="deformable_attention",
         )
@@ -316,6 +376,11 @@ class TemporalSelfAttention(nn.Module):
     # on TPU today (see the DCN note in resnet.py) — revisit with a tiled
     # kernel.
     window_radius: int = 0
+    # fused Pallas windowed kernel: 'auto' (bf16 on TPU, off on CPU),
+    # 'off', 'fp32', 'bf16'
+    fused_msda: str = "off"
+    fused_stride: int = 8
+    fused_halo: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -377,7 +442,19 @@ class TemporalSelfAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        if self.window_radius > 0:
+        mode = _fused_mode(self.fused_msda)
+        if mode != "off":
+            # BEV queries are grid-ordered (row-major) => items are
+            # row-coherent; offsets beyond the halo would drop mass but
+            # stay within it in practice (grid init <= 4 cells)
+            from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
+
+            out = ms_deform_attn_pallas(
+                v, ((bev_h, bev_w),), locations, weights,
+                stride=self.fused_stride, halo=self.fused_halo,
+                compute_dtype=_fused_dtype(mode),
+            )
+        elif self.window_radius > 0:
             from bevformer_tpu.kernels.msda import ms_deform_attn_grid_shift
 
             out = ms_deform_attn_grid_shift(

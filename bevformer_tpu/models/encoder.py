@@ -35,6 +35,7 @@ class BEVFormerLayer(nn.Module):
     sca_num_points: int = 8
     tsa_num_points: int = 4
     sca_capacity_ratio: float = 0.0
+    fused_msda: str = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,6 +58,7 @@ class BEVFormerLayer(nn.Module):
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
             num_points=self.tsa_num_points,
+            fused_msda=self.fused_msda,
             dtype=self.dtype,
             name="self_attn",
         )(
@@ -76,6 +78,7 @@ class BEVFormerLayer(nn.Module):
             num_levels=self.num_levels,
             num_points=self.sca_num_points,
             capacity_ratio=self.sca_capacity_ratio,
+            fused_msda=self.fused_msda,
             dtype=self.dtype,
             name="cross_attn",
         )(
@@ -111,6 +114,7 @@ class _EncoderScanBody(nn.Module):
     num_cams: int
     num_levels: int
     sca_capacity_ratio: float
+    fused_msda: str
     deterministic: bool
     has_prev_input: bool
     spatial_shapes: tuple
@@ -148,6 +152,7 @@ class _EncoderScanBody(nn.Module):
             num_cams=self.num_cams,
             num_levels=self.num_levels,
             sca_capacity_ratio=self.sca_capacity_ratio,
+            fused_msda=self.fused_msda,
             dtype=self.dtype,
             name="layer",
         )(
@@ -181,6 +186,7 @@ class BEVFormerEncoder(nn.Module):
     num_points_in_pillar: int = 4
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     sca_capacity_ratio: float = 0.0
+    fused_msda: str = "off"
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -266,6 +272,7 @@ class BEVFormerEncoder(nn.Module):
             num_cams=self.num_cams,
             num_levels=self.num_levels,
             sca_capacity_ratio=self.sca_capacity_ratio,
+            fused_msda=self.fused_msda,
             deterministic=deterministic,
             has_prev_input=prev_bev is not None,
             spatial_shapes=tuple(spatial_shapes),

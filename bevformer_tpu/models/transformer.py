@@ -36,6 +36,8 @@ class PerceptionTransformer(nn.Module):
     can_bus_norm: bool = True
     use_cams_embeds: bool = True
     sca_capacity_ratio: float = 0.0
+    # fused Pallas msda kernel mode ('auto'|'off'|'fp32'|'bf16')
+    fused_msda: str = "off"
     use_remat: bool = False
     rotate_center: Tuple[float, float] = (100.0, 100.0)
     dtype: jnp.dtype = jnp.float32
@@ -66,6 +68,7 @@ class PerceptionTransformer(nn.Module):
             num_points_in_pillar=self.num_points_in_pillar,
             pc_range=self.pc_range,
             sca_capacity_ratio=self.sca_capacity_ratio,
+            fused_msda=self.fused_msda,
             use_remat=self.use_remat,
             dtype=self.dtype,
             name="encoder",

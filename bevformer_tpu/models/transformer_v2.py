@@ -134,6 +134,7 @@ class PerceptionTransformerV2Flax(nn.Module):
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     use_cams_embeds: bool = True
     sca_capacity_ratio: float = 0.0
+    fused_msda: str = "off"
     use_remat: bool = False
     frames: Tuple[int, ...] = (0,)
     num_fusion: int = 3
@@ -167,6 +168,7 @@ class PerceptionTransformerV2Flax(nn.Module):
             num_points_in_pillar=self.num_points_in_pillar,
             pc_range=self.pc_range,
             sca_capacity_ratio=self.sca_capacity_ratio,
+            fused_msda=self.fused_msda,
             use_remat=self.use_remat,
             dtype=self.dtype,
             name="encoder",

@@ -77,20 +77,45 @@ def _linear(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
+class _TrackingDict(dict):
+    """Records which keys the converter consumed so leftovers can be
+    reported — a silently-ignored tensor means a silently-uninitialized
+    (or wrongly mapped) parameter."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self.consumed.add(k)
+        return super().__contains__(k)
+
+
 def convert_reference_state_dict(
-    state_dict: Dict[str, np.ndarray], cfg
+    state_dict: Dict[str, np.ndarray], cfg, *, strict: bool = True
 ) -> Dict[str, Any]:
     """Map a reference BEVFormer `.pth` state_dict into our param pytree.
 
     Handles: ResNet backbone (+DCN), FPN, head embeddings/branches,
     PerceptionTransformer (can_bus mlp, embeds, encoder TSA/SCA, decoder).
     Returns a nested dict matching `model.init(...)['params']`.
+
+    strict: raise if any state_dict tensor was NOT consumed by the mapping
+    (missing tensors always raise KeyError). The reference `.pth` contains
+    nothing beyond model tensors after the `num_batches_tracked` filter
+    (`tools/test.py:209-212` loads with the same key set).
     """
-    sd = {
-        k: np.asarray(v)
-        for k, v in state_dict.items()
-        if not k.endswith("num_batches_tracked")
-    }
+    sd = _TrackingDict(
+        {
+            k: np.asarray(v)
+            for k, v in state_dict.items()
+            if not k.endswith("num_batches_tracked")
+        }
+    )
     p: Dict[str, Any] = {}
 
     def put(path: str, value: np.ndarray):
@@ -306,6 +331,13 @@ def convert_reference_state_dict(
         layer_norms(dst, src)
         ffn(f"{dst}/ffn", f"{src}.ffns.0")
 
+    if strict:
+        leftovers = sorted(set(sd) - sd.consumed)
+        if leftovers:
+            raise ValueError(
+                f"{len(leftovers)} reference tensors not consumed by the "
+                f"converter (first 20): {leftovers[:20]}"
+            )
     return p
 
 
@@ -508,11 +540,110 @@ def export_reference_state_dict(params: Dict[str, Any], cfg) -> Dict[str, np.nda
 
 
 def load_pth(path: str) -> Dict[str, np.ndarray]:
-    import torch
+    """Read a PyTorch checkpoint into numpy. Prefers torch when installed;
+    falls back to the pure zip/pickle reader so conversion works at deploy
+    time without a torch dependency."""
+    try:
+        import torch
+    except ImportError:
+        return load_pth_notorch(path)
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
-    return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    import torch as _t
+
+    def to_np(v):
+        # numpy has no bf16; upcast (same as the torch-free reader)
+        return (v.float() if v.dtype == _t.bfloat16 else v).numpy()
+
+    return {k: to_np(v) for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+_TORCH_NP_DTYPES = {
+    "FloatStorage": np.float32,
+    "DoubleStorage": np.float64,
+    "HalfStorage": np.float16,
+    "BFloat16Storage": None,  # handled via uint16 view below
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "ShortStorage": np.int16,
+    "CharStorage": np.int8,
+    "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
+}
+
+
+def load_pth_notorch(path: str) -> Dict[str, np.ndarray]:
+    """Torch-free reader for the PyTorch v2 zip checkpoint format.
+
+    The archive holds `<name>/data.pkl` (a pickle whose persistent IDs
+    reference per-storage files under `<name>/data/<key>`) plus the raw
+    little-endian storage bytes. Tensors are rebuilt as numpy arrays via
+    offset/shape/stride (`torch._utils._rebuild_tensor_v2` semantics).
+    bfloat16 storages are upcast to float32 (numpy has no bf16).
+    """
+    import pickle
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    pkl = [n for n in names if n.endswith("/data.pkl") or n == "data.pkl"]
+    if not pkl:
+        raise ValueError(f"{path}: not a PyTorch v2 zip checkpoint")
+    prefix = pkl[0][: -len("data.pkl")]
+
+    def load_storage(key: str, np_dtype, is_bf16: bool):
+        raw = zf.read(f"{prefix}data/{key}")
+        if is_bf16:
+            u16 = np.frombuffer(raw, dtype=np.uint16)
+            return (u16.astype(np.uint32) << 16).view(np.float32)
+        return np.frombuffer(raw, dtype=np_dtype)
+
+    class _Storage:
+        def __init__(self, data):
+            self.data = data
+
+    def rebuild_tensor_v2(storage, offset, size, stride, *unused):
+        arr = storage.data
+        if not size:
+            return arr[offset : offset + 1].reshape(()).copy()
+        return np.lib.stride_tricks.as_strided(
+            arr[offset:],
+            shape=tuple(size),
+            strides=tuple(s * arr.itemsize for s in stride),
+        ).copy()
+
+    class _Unpickler(pickle.Unpickler):
+        def persistent_load(self, pid):
+            # ('storage', StorageType, key, location, numel)
+            assert pid[0] == "storage", pid
+            stype = pid[1]
+            name = getattr(stype, "__name__", str(stype))
+            if name not in _TORCH_NP_DTYPES:
+                raise ValueError(f"unsupported storage type {name}")
+            return _Storage(
+                load_storage(
+                    pid[2], _TORCH_NP_DTYPES[name], name == "BFloat16Storage"
+                )
+            )
+
+        def find_class(self, module, name):
+            if name == "_rebuild_tensor_v2":
+                return rebuild_tensor_v2
+            if module.startswith("torch") and name.endswith("Storage"):
+                return type(name, (), {"__name__": name})
+            if (module, name) == ("collections", "OrderedDict"):
+                return dict
+            if name in ("_rebuild_parameter",):
+                return lambda data, requires_grad, hooks: data
+            raise pickle.UnpicklingError(
+                f"refusing to unpickle {module}.{name} (torch-free reader "
+                "only rebuilds plain tensors)"
+            )
+
+    obj = _Unpickler(zf.open(pkl[0])).load()
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v for k, v in sd.items() if isinstance(v, np.ndarray)}
 
 
 def convert_pth_checkpoint(pth_path: str, cfg) -> Dict[str, Any]:

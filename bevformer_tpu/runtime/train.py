@@ -120,7 +120,12 @@ def loss_fn(model: BEVFormer, params, batch: Batch, rng) -> Tuple[jnp.ndarray, D
     return losses["total"], losses
 
 
-def make_train_step(model: BEVFormer, tx):
+def make_train_step(model: BEVFormer, tx, *, check_grads: bool = False):
+    """check_grads: additionally return per-parameter grad L2 norms so the
+    trainer can list untrained (all-zero-grad) parameters — the reference's
+    GradChecker hook (`models/hooks/hooks.py:6-12`). Opt-in: it is a
+    separate compile and a large metrics pytree."""
+
     @jax.jit
     def train_step(state: TrainState, batch: Batch, rng):
         (_, losses), grads = jax.value_and_grad(
@@ -131,9 +136,34 @@ def make_train_step(model: BEVFormer, tx):
         new_state = TrainState(state.step + 1, params, opt_state)
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if check_grads:
+            metrics["per_param_grad_norm"] = jax.tree.map(
+                lambda g: jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)))),
+                grads,
+            )
         return new_state, metrics
 
     return train_step
+
+
+def unused_param_report(per_param_grad_norm, params) -> list:
+    """Names of parameters with identically-zero gradients, excluding the
+    deliberately frozen groups — the reference GradChecker's 'params not
+    used in loss' listing (`models/hooks/hooks.py:6-12`)."""
+    from bevformer_tpu.runtime.optim import label_params
+
+    labels = label_params(params)
+    names = []
+    flat_n, _ = jax.tree_util.tree_flatten_with_path(per_param_grad_norm)
+    flat_l, _ = jax.tree_util.tree_flatten_with_path(labels)
+    for (path, norm), (_, label) in zip(flat_n, flat_l):
+        if label == "frozen":
+            continue
+        if float(norm) == 0.0:
+            names.append(
+                "/".join(str(getattr(k, "key", k)) for k in path)
+            )
+    return names
 
 
 def init_state(model: BEVFormer, tx, rng, sample_batch: Batch) -> TrainState:

@@ -128,3 +128,121 @@ def test_roundtrip_r50_stacked_blocks():
     )
     b = np.asarray(back["img_backbone"]["layer3_rest"]["block"]["conv1"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_converter_strict_key_accounting():
+    """Every reference tensor must be consumed; leftovers and missing keys
+    must fail loudly (VERDICT r1: a silent mis-map decodes garbage)."""
+    import pytest
+    from bevformer_tpu.runtime.checkpoint import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+
+    cfg = mini_config()
+    _, shapes = _init_params(cfg)
+    params = _concretize(shapes)
+    sd = export_reference_state_dict(params, cfg)
+
+    # clean: consumes everything
+    convert_reference_state_dict(dict(sd), cfg)
+
+    # alien key -> strict error, opt-out works
+    sd_extra = dict(sd)
+    sd_extra["pts_bbox_head.unmapped.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_reference_state_dict(sd_extra, cfg)
+    convert_reference_state_dict(sd_extra, cfg, strict=False)
+
+    # missing key -> KeyError
+    sd_missing = dict(sd)
+    del sd_missing["pts_bbox_head.query_embedding.weight"]
+    with pytest.raises(KeyError):
+        convert_reference_state_dict(sd_missing, cfg)
+
+
+def test_converter_transpose_directions():
+    """One asymmetric fixture per parameter class: conv kernels, dense
+    kernels, LN/BN vectors, embeddings must land transposed correctly (a
+    silent wrong transpose is shape-compatible for square layers, so use
+    rectangular values and check exact elements)."""
+    from bevformer_tpu.runtime.checkpoint import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+
+    cfg = mini_config()
+    _, shapes = _init_params(cfg)
+    params = _concretize(shapes)
+    sd = export_reference_state_dict(params, cfg)
+    back = convert_reference_state_dict(dict(sd), cfg)
+    p = params["params"]
+
+    # conv: flax [kh, kw, I, O] <-> torch [O, I, kh, kw]
+    ours = np.asarray(p["img_backbone"]["stem_conv"]["kernel"])
+    theirs = sd["img_backbone.conv1.weight"]
+    assert ours.shape[-1] == theirs.shape[0]
+    np.testing.assert_array_equal(theirs, np.transpose(ours, (3, 2, 0, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(back["img_backbone"]["stem_conv"]["kernel"]), ours
+    )
+
+    # dense: flax [I, O] <-> torch [O, I]
+    ours = np.asarray(
+        p["pts_bbox_head"]["transformer"]["reference_points"]["kernel"]
+    )
+    theirs = sd["pts_bbox_head.transformer.reference_points.weight"]
+    np.testing.assert_array_equal(theirs, ours.T)
+
+    # BN vectors: straight copies
+    np.testing.assert_array_equal(
+        sd["img_backbone.bn1.running_var"],
+        np.asarray(p["img_backbone"]["stem_bn"]["var"]),
+    )
+
+    # embeddings: straight copies
+    np.testing.assert_array_equal(
+        sd["pts_bbox_head.bev_embedding.weight"],
+        np.asarray(p["pts_bbox_head"]["bev_embedding"]),
+    )
+
+    # full round trip: every leaf identical
+    flat_a = _flat_shapes(params["params"])
+    flat_b = _flat_shapes(back)
+    assert flat_a == flat_b
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(params["params"])[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
+
+
+def test_load_pth_notorch_matches_torch(tmp_path):
+    """The pure zip/pickle reader must agree with torch.load, including
+    non-contiguous tensors, scalars, fp16 and bf16 storages."""
+    import torch
+    from bevformer_tpu.runtime.checkpoint import load_pth, load_pth_notorch
+
+    sd = {
+        "a.weight": torch.arange(24, dtype=torch.float32).reshape(2, 3, 4),
+        "a.bias": torch.randn(7),
+        "b.weight": torch.randn(5, 6).t(),  # non-contiguous
+        "c.half": torch.randn(3, 3).half(),
+        "c.bf16": torch.randn(4, 2).bfloat16(),
+        "d.long": torch.arange(5),
+        "e.scalar": torch.tensor(3.5),
+    }
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"state_dict": sd, "meta": {"epoch": 3}}, path)
+
+    ours = load_pth_notorch(path)
+    ref = load_pth(path)
+    assert set(ours) == set(ref) == set(sd)
+    for k in sd:
+        a, b = ours[k], ref[k]
+        if sd[k].dtype == torch.bfloat16:
+            b = sd[k].float().numpy()  # our reader upcasts bf16 -> f32
+        assert a.shape == np.asarray(b).shape, k
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64), err_msg=k
+        )

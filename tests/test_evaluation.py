@@ -102,3 +102,83 @@ def test_jittered_predictions_monotonic():
         ates.append(m["tp_errors"]["trans_err"])
     assert scores[0] > scores[1]
     assert ates[0] < ates[1]
+
+
+def test_ap_matches_devkit_hand_derivation():
+    """Hand-derived devkit fixture: 2 GT, one exact hit (score .9), one far
+    miss (score .8). Devkit math: rec=[.5,.5], prec=[1,.5]; 101-point
+    interp (right=0) -> bins .00-.49 = 1.0, .50 = .5, rest 0; calc_ap =
+    mean(clip(prec[11:]-0.1,0))/0.9 = (39*0.9+0.4)/90/0.9 = 0.4382716.
+    Guards our evaluator's binning/interpolation against the devkit
+    semantics it reimplements (nuscenes devkit algo.py accumulate/calc_ap).
+    """
+    from bevformer_tpu.core.evaluation import evaluate_detections
+
+    gt = {
+        "s0": {
+            "boxes": np.array(
+                [
+                    [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0],
+                    [30.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0],
+                ]
+            ),
+            "labels": np.array([0, 0]),
+        }
+    }
+    results = [
+        {
+            "token": "s0",
+            "boxes_3d": np.array(
+                [
+                    [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0],
+                    [15.0, 15.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0],
+                ]
+            ),
+            "scores_3d": np.array([0.9, 0.8]),
+            "labels_3d": np.array([0, 0]),
+        }
+    ]
+    m = evaluate_detections(results, gt, class_names=("car",))
+    expected_ap = (39 * 0.9 + 0.4) / 90 / 0.9
+    for th, ap in m["label_aps"]["car"].items():
+        np.testing.assert_allclose(ap, expected_ap, atol=1e-9, err_msg=str(th))
+    assert m["label_tp_errors"]["car"]["trans_err"] == 0.0
+
+
+def test_overlap_filter_geometry():
+    """Boxes in >1 camera frustum survive; single-camera and
+    behind-camera boxes are dropped (nuscnes_eval.py:436-505)."""
+    from bevformer_tpu.core.evaluation import (
+        apply_overlap_filter,
+        filter_boxes_by_overlap,
+    )
+
+    h, w, f = 400, 600, 300.0
+    intr = np.array([[f, 0, w / 2, 0], [0, f, h / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1.0]])
+    # two cameras, yawed +-30 deg around z, both looking along +x (lidar)
+    def cam(yaw):
+        c, s = np.cos(yaw), np.sin(yaw)
+        rotz = np.array([[c, -s, 0, 0], [s, c, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1.0]])
+        extr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]])
+        return intr @ extr @ rotz.T
+    l2i = np.stack([cam(np.deg2rad(-20)), cam(np.deg2rad(20))])
+
+    boxes = np.array(
+        [
+            [10.0, 0.0, -0.5, 1, 1, 1, 0, 0, 0],   # straight ahead: BOTH cams
+            [10.0, 8.0, -0.5, 1, 1, 1, 0, 0, 0],   # one side: ONE cam only
+            [-10.0, 0.0, -0.5, 1, 1, 1, 0, 0, 0],  # behind both
+        ]
+    )
+    centers = boxes.copy()
+    centers[:, 2] += 0.5 * boxes[:, 5]
+    keep = filter_boxes_by_overlap(centers[:, :3], l2i, (h, w))
+    assert keep.tolist() == [True, False, False]
+
+    results = [
+        dict(token="s0", boxes_3d=boxes, scores_3d=np.array([0.9, 0.8, 0.7]),
+             labels_3d=np.array([0, 0, 0]))
+    ]
+    gt = {"s0": {"boxes": boxes[:2], "labels": np.array([0, 0])}}
+    fr, fg = apply_overlap_filter(results, gt, {"s0": l2i}, (h, w))
+    assert len(fr[0]["boxes_3d"]) == 1 and len(fg["s0"]["boxes"]) == 1

@@ -164,3 +164,159 @@ def test_banded_matches_reference(shapes, heads, points, band_rows):
         )
     )
     np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-5)
+
+
+def _coherent_locations(rng, b, q, heads, shapes, points, jitter_rows=2.0):
+    """Sampling locations whose item order (q-major, p-minor per head) is
+    row-coherent: normalized y grows slowly with query index, with jitter
+    bounded in IMAGE ROWS of every level (so each 256-item tile fits a
+    stride+halo window at all levels)."""
+    l = len(shapes)
+    base = (np.arange(q) + 0.5) / q  # [0, 1)
+    y = np.empty((b, q, heads, l, points), np.float32)
+    for lvl, (hh, ww) in enumerate(shapes):
+        jit = rng.uniform(-jitter_rows, jitter_rows, size=(b, q, heads, points))
+        y[:, :, :, lvl, :] = base[None, :, None, None] + jit / hh
+    x = rng.uniform(-0.2, 1.2, size=(b, q, heads, l, points)).astype(np.float32)
+    return np.stack([x, y], axis=-1).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "shapes,heads,points",
+    [
+        (((30, 25),), 8, 8),
+        (((32, 22), (16, 11)), 4, 4),
+        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8),
+    ],
+)
+def test_windowed_pallas_matches_reference(shapes, heads, points):
+    """Fused Pallas kernel (interpret mode on CPU) vs the XLA oracle for
+    row-coherent item orders, incl. out-of-image sampling locations."""
+    from bevformer_tpu.kernels import msda_pallas as mp
+
+    rng = np.random.RandomState(7)
+    b, q, d = 2, 256, 32
+    k = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    value = rng.randn(b, k, heads, d).astype(np.float32)
+    loc = _coherent_locations(rng, b, q, heads, shapes, points)
+    w = rng.rand(b, q, heads, l, points).astype(np.float32)
+
+    drops = mp.window_drop_mass(
+        shapes, jnp.array(loc), jnp.array(w), stride=4, halo=8, cap_tile=128
+    )
+    assert drops == [0.0] * l, drops
+    a = np.asarray(
+        ms_deform_attn_jnp(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    )
+    c = np.asarray(
+        mp._forward(
+            jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
+            stride=4, halo=8, cap_tile=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_pallas_precomputed_and_bf16():
+    """prepare_window_values must equal inline prep; bf16 compute stays
+    within bf16 tolerance; non-multiple-of-tile item counts pad safely."""
+    from bevformer_tpu.kernels import msda_pallas as mp
+
+    rng = np.random.RandomState(11)
+    shapes = ((12, 18),)
+    b, q, heads, points, d = 1, 61, 4, 4, 32  # q*p = 244, not tile multiple
+    k = sum(h * w for h, w in shapes)
+    value = jnp.array(rng.randn(b, k, heads, d), jnp.float32)
+    loc = jnp.array(_coherent_locations(rng, b, q, heads, shapes, points))
+    w = jnp.array(rng.rand(b, q, heads, 1, points), jnp.float32)
+
+    ref = np.asarray(ms_deform_attn_jnp(value, shapes, loc, w))
+    wins = mp.prepare_window_values(value, shapes, stride=4, halo=8)
+    out = np.asarray(
+        mp._forward(value, shapes, loc, w, wins,
+                    stride=4, halo=8, cap_tile=128, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    out16 = np.asarray(
+        mp._forward(value, shapes, loc, w,
+                    stride=4, halo=8, cap_tile=128,
+                    compute_dtype=jnp.bfloat16, interpret=True)
+    )
+    assert np.max(np.abs(out16 - ref)) / np.max(np.abs(ref)) < 0.02
+
+
+def test_windowed_pallas_incoherent_drops_are_bounded_and_audited():
+    """A y-incoherent order must only LOSE attention mass (never corrupt):
+    the audit reports the loss and the output stays finite with per-query
+    error bounded by the dropped weight."""
+    from bevformer_tpu.kernels import msda_pallas as mp
+
+    rng = np.random.RandomState(13)
+    shapes = ((64, 12),)
+    b, q, heads, points, d = 1, 64, 2, 4, 32
+    k = sum(h * w for h, w in shapes)
+    value = jnp.array(rng.randn(b, k, heads, d), jnp.float32)
+    loc = jnp.array(rng.rand(b, q, heads, 1, points, 2), jnp.float32)
+    w = jnp.array(rng.rand(b, q, heads, 1, points), jnp.float32)
+
+    drops = mp.window_drop_mass(shapes, loc, w, stride=4, halo=4,
+                                cap_tile=128)
+    assert drops[0] > 0
+    out = np.asarray(
+        mp._forward(value, shapes, loc, w, stride=4, halo=4, cap_tile=128,
+                    interpret=True)
+    )
+    assert np.isfinite(out).all()
+
+
+def test_tsa_fused_matches_off():
+    """TemporalSelfAttention with the fused kernel (interpret mode on CPU)
+    must match the XLA path: BEV grid order is row-coherent and init
+    offsets stay within the halo."""
+    import jax
+    from bevformer_tpu.models.attention import TemporalSelfAttention
+
+    rng = np.random.RandomState(21)
+    bs, bev_h, bev_w, e = 1, 16, 20, 64
+    q = bev_h * bev_w
+    query = jnp.array(rng.randn(bs, q, e) * 0.1, jnp.float32)
+    vq = jnp.array(rng.randn(bs, 2, q, e) * 0.1, jnp.float32)
+    pos = jnp.array(rng.randn(bs, q, e) * 0.1, jnp.float32)
+    ref = jnp.array(rng.rand(bs, 2, q, 1, 2), jnp.float32)
+
+    kw = dict(embed_dims=e, num_heads=4, num_points=4)
+    m_off = TemporalSelfAttention(fused_msda="off", **kw)
+    params = m_off.init(jax.random.PRNGKey(0), query, vq, pos, ref,
+                        bev_h, bev_w)
+    a = m_off.apply(params, query, vq, pos, ref, bev_h, bev_w)
+    m_on = TemporalSelfAttention(fused_msda="fp32", **kw)
+    b = m_on.apply(params, query, vq, pos, ref, bev_h, bev_w)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sca_inner_fused_matches_off():
+    """MSDeformableAttention3D fused path (anchor-sorted items) vs the XLA
+    path at multi-level shapes."""
+    import jax
+    from bevformer_tpu.models.attention import MSDeformableAttention3D
+
+    rng = np.random.RandomState(22)
+    b, q, e, nz = 2, 300, 64, 4
+    shapes = ((40, 25), (20, 13), (10, 7), (5, 4))
+    k = sum(h * w for h, w in shapes)
+    query = jnp.array(rng.randn(b, q, e) * 0.1, jnp.float32)
+    value = jnp.array(rng.randn(b, k, e) * 0.1, jnp.float32)
+    ref = jnp.array(rng.rand(b, q, nz, 2), jnp.float32)
+
+    kw = dict(embed_dims=e, num_heads=4, num_levels=len(shapes),
+              num_points=8)
+    m_off = MSDeformableAttention3D(fused_msda="off", **kw)
+    params = m_off.init(jax.random.PRNGKey(1), query, value, ref, shapes)
+    a = m_off.apply(params, query, value, ref, shapes)
+    m_on = MSDeformableAttention3D(fused_msda="fp32", **kw)
+    b_ = m_on.apply(params, query, value, ref, shapes)
+    np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)

@@ -166,3 +166,27 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_unused_param_report():
+    """check_grads metrics + GradChecker-style listing: params cut off from
+    the loss must be reported by name; live params must not."""
+    import jax
+    import jax.numpy as jnp
+    from bevformer_tpu.runtime import train
+
+    # synthetic per-param norms: one zeroed non-frozen param
+    params = {
+        "pts_bbox_head": {
+            "bev_embedding": jnp.ones((4, 8)),
+            "cls_branch0": {"fc0": {"kernel": jnp.ones((8, 8))}},
+        },
+        "img_backbone": {"stem_conv": {"kernel": jnp.ones((7, 7, 3, 64))}},
+    }
+    norms = jax.tree.map(lambda x: jnp.float32(1.0), params)
+    norms["pts_bbox_head"]["cls_branch0"]["fc0"]["kernel"] = jnp.float32(0.0)
+    # frozen group zero-grad must NOT be reported
+    norms["img_backbone"]["stem_conv"]["kernel"] = jnp.float32(0.0)
+
+    unused = train.unused_param_report(norms, params)
+    assert unused == ["pts_bbox_head/cls_branch0/fc0/kernel"], unused

@@ -1,0 +1,369 @@
+"""PyTorch replicas of the reference BEVFormer modules, used as parity
+oracles.
+
+Each class reimplements the *semantics* of the corresponding reference
+module (cited per class) with torch, using the reference's CPU execution
+path (`multi_scale_deformable_attn_pytorch` / grid_sample) for sampling.
+Parameter names/layouts follow the reference state_dict so tensors exported
+by `runtime.checkpoint.export_reference_state_dict` load directly.
+
+These are test fixtures: written from the reference behavior as spec, they
+give activation-level evidence that the JAX modules match the reference
+without needing nuScenes data or a GPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def multi_scale_deformable_attn(value, spatial_shapes, locations, weights):
+    """mmcv's pure-PyTorch msda fallback semantics (the reference CPU path).
+
+    value [B,K,H,D], locations [B,Q,H,L,P,2] normalized, weights
+    [B,Q,H,L,P] -> [B, Q, H*D].
+    """
+    b, k, h, d = value.shape
+    _, q, _, l, p, _ = locations.shape
+    value_list = value.split([hh * ww for hh, ww in spatial_shapes], dim=1)
+    grids = 2 * locations - 1
+    sampled = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(b * h, d, hh, ww)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        sampled.append(
+            F.grid_sample(
+                v, g, mode="bilinear", padding_mode="zeros",
+                align_corners=False,
+            )
+        )
+    attn = weights.transpose(1, 2).reshape(b * h, 1, q, l * p)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * attn).sum(-1)
+    return out.view(b, h * d, q).transpose(1, 2).contiguous()
+
+
+def point_sampling(ref_3d, pc_range, lidar2img, img_shape):
+    """`modules/encoder.py:87-150`: project pillar points to cameras.
+
+    ref_3d [bs, D, Q, 3] normalized; lidar2img [bs, cams, 4, 4];
+    img_shape (h, w) = PADDED image size. Returns
+    reference_points_cam [cams, bs, Q, D, 2], bev_mask [cams, bs, Q, D].
+    """
+    pts = ref_3d.clone()
+    for i in range(3):
+        pts[..., i] = pts[..., i] * (pc_range[i + 3] - pc_range[i]) + pc_range[i]
+    pts = torch.cat([pts, torch.ones_like(pts[..., :1])], -1)  # [bs,D,Q,4]
+    d, q = pts.shape[1], pts.shape[2]
+    cams = lidar2img.shape[1]
+    pts = pts.permute(1, 0, 2, 3)[:, :, None].repeat(1, 1, cams, 1, 1)
+    proj = torch.einsum(
+        "bcij,dbcqj->dbcqi", lidar2img.float(), pts.float()
+    )
+    eps = 1e-5
+    mask = proj[..., 2:3] > eps
+    xy = proj[..., 0:2] / torch.maximum(
+        proj[..., 2:3], torch.ones_like(proj[..., 2:3]) * eps
+    )
+    xy = xy / torch.tensor(
+        [img_shape[1], img_shape[0]], dtype=xy.dtype
+    )
+    mask = (
+        mask
+        & (xy[..., 1:2] > 0.0)
+        & (xy[..., 1:2] < 1.0)
+        & (xy[..., 0:1] > 0.0)
+        & (xy[..., 0:1] < 1.0)
+    )
+    ref_cam = xy.permute(2, 1, 3, 0, 4)  # [cams, bs, Q, D, 2]
+    mask = mask.permute(2, 1, 3, 0, 4).squeeze(-1)
+    return ref_cam, mask
+
+
+class TemporalSelfAttention(nn.Module):
+    """`modules/temporal_self_attention.py:26-272` (batch_first=True)."""
+
+    def __init__(self, embed_dims=256, num_heads=8, num_levels=1,
+                 num_points=4, num_bev_queue=2):
+        super().__init__()
+        self.embed_dims = embed_dims
+        self.num_heads = num_heads
+        self.num_levels = num_levels
+        self.num_points = num_points
+        self.num_bev_queue = num_bev_queue
+        self.sampling_offsets = nn.Linear(
+            embed_dims * num_bev_queue,
+            num_bev_queue * num_heads * num_levels * num_points * 2,
+        )
+        self.attention_weights = nn.Linear(
+            embed_dims * num_bev_queue,
+            num_bev_queue * num_heads * num_levels * num_points,
+        )
+        self.value_proj = nn.Linear(embed_dims, embed_dims)
+        self.output_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, value, query_pos, reference_points,
+                spatial_shapes):
+        # query [bs, q, e]; value [bs*2, q, e] rows (prev, cur) per batch;
+        # reference_points [bs*2, q, 1, 2]; spatial_shapes [(h, w)]
+        bs, num_query, e = query.shape
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        h, l, p, nq = (self.num_heads, self.num_levels, self.num_points,
+                       self.num_bev_queue)
+
+        query = torch.cat([value[:bs], query], -1)
+        v = self.value_proj(value)
+        v = v.reshape(bs * nq, -1, h, self.embed_dims // h)
+
+        offsets = self.sampling_offsets(query).view(
+            bs, num_query, h, nq, l, p, 2
+        ).permute(0, 3, 1, 2, 4, 5, 6).reshape(bs * nq, num_query, h, l, p, 2)
+        weights = self.attention_weights(query).view(
+            bs, num_query, h, nq, l * p
+        ).softmax(-1).view(bs, num_query, h, nq, l, p)
+        weights = weights.permute(0, 3, 1, 2, 4, 5).reshape(
+            bs * nq, num_query, h, l, p
+        )
+
+        normalizer = torch.tensor(
+            [[ww, hh] for hh, ww in spatial_shapes], dtype=torch.float32
+        )
+        locations = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+        out = multi_scale_deformable_attn(v, spatial_shapes, locations, weights)
+        # queue fuse by mean (`temporal_self_attention.py:255-262`)
+        out = out.permute(1, 2, 0).view(num_query, e, bs, nq).mean(-1)
+        out = out.permute(2, 0, 1)
+        return self.output_proj(out) + identity
+
+
+class MSDeformableAttention3D(nn.Module):
+    """`modules/spatial_cross_attention.py:179-399` (batch_first=True)."""
+
+    def __init__(self, embed_dims=256, num_heads=8, num_levels=4,
+                 num_points=8):
+        super().__init__()
+        self.embed_dims = embed_dims
+        self.num_heads = num_heads
+        self.num_levels = num_levels
+        self.num_points = num_points
+        self.sampling_offsets = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points * 2
+        )
+        self.attention_weights = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points
+        )
+        self.value_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, value, reference_points, spatial_shapes):
+        # query [b, q, e]; value [b, k, e]; reference_points [b, q, Z, 2]
+        b, q, _ = query.shape
+        h, l, p = self.num_heads, self.num_levels, self.num_points
+        v = self.value_proj(value).view(b, -1, h, self.embed_dims // h)
+        offsets = self.sampling_offsets(query).view(b, q, h, l, p, 2)
+        weights = self.attention_weights(query).view(
+            b, q, h, l * p
+        ).softmax(-1).view(b, q, h, l, p)
+
+        normalizer = torch.tensor(
+            [[ww, hh] for hh, ww in spatial_shapes], dtype=torch.float32
+        )
+        nz = reference_points.shape[2]
+        offsets = offsets / normalizer[None, None, None, :, None, :]
+        offsets = offsets.view(b, q, h, l, p // nz, nz, 2)
+        ref = reference_points[:, :, None, None, None, :, :]
+        locations = (ref + offsets).view(b, q, h, l, p, 2)
+        return multi_scale_deformable_attn(v, spatial_shapes, locations, weights)
+
+
+class SpatialCrossAttention(nn.Module):
+    """`modules/spatial_cross_attention.py:32-175`: the reference's dynamic
+    per-camera `nonzero()` rebatch, verbatim semantics (incl. using batch
+    0's visibility indexes)."""
+
+    def __init__(self, embed_dims=256, num_cams=6, num_heads=8, num_levels=4,
+                 num_points=8):
+        super().__init__()
+        self.embed_dims = embed_dims
+        self.num_cams = num_cams
+        self.deformable_attention = MSDeformableAttention3D(
+            embed_dims, num_heads, num_levels, num_points
+        )
+        self.output_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, value, query_pos, reference_points_cam,
+                bev_mask, spatial_shapes):
+        # query [bs, q, e]; value [cams, k, bs, e];
+        # reference_points_cam [cams, bs, q, D, 2]; bev_mask [cams, bs, q, D]
+        inp_residual = query
+        slots = torch.zeros_like(query)
+        if query_pos is not None:
+            query = query + query_pos
+        bs, num_query, _ = query.shape
+        d = reference_points_cam.size(3)
+
+        indexes = [
+            m[0].sum(-1).nonzero().squeeze(-1) for m in bev_mask
+        ]
+        max_len = max(len(i) for i in indexes)
+
+        queries_rebatch = query.new_zeros(
+            (bs, self.num_cams, max_len, self.embed_dims)
+        )
+        ref_rebatch = reference_points_cam.new_zeros(
+            (bs, self.num_cams, max_len, d, 2)
+        )
+        for j in range(bs):
+            for i, ref_per_img in enumerate(reference_points_cam):
+                idx = indexes[i]
+                queries_rebatch[j, i, : len(idx)] = query[j, idx]
+                ref_rebatch[j, i, : len(idx)] = ref_per_img[j, idx]
+
+        cams, k, bs_, e = value.shape
+        v = value.permute(2, 0, 1, 3).reshape(bs * self.num_cams, k, e)
+        queries = self.deformable_attention(
+            queries_rebatch.view(bs * self.num_cams, max_len, e),
+            v,
+            ref_rebatch.view(bs * self.num_cams, max_len, d, 2),
+            spatial_shapes,
+        ).view(bs, self.num_cams, max_len, e)
+
+        for j in range(bs):
+            for i, idx in enumerate(indexes):
+                slots[j, idx] += queries[j, i, : len(idx)]
+
+        count = bev_mask.sum(-1) > 0
+        count = count.permute(1, 2, 0).sum(-1).clamp(min=1.0)
+        slots = slots / count[..., None]
+        return self.output_proj(slots) + inp_residual
+
+
+class FFN(nn.Module):
+    """mmcv FFN (2 layers, ReLU) used by all reference transformer layers."""
+
+    def __init__(self, embed_dims=256, feedforward_channels=512):
+        super().__init__()
+        self.layers = nn.Sequential(
+            nn.Sequential(nn.Linear(embed_dims, feedforward_channels), nn.ReLU()),
+            nn.Linear(feedforward_channels, embed_dims),
+        )
+
+    def forward(self, x):
+        return x + self.layers(x)
+
+
+class BEVFormerLayer(nn.Module):
+    """`modules/encoder.py:242-406`: operation_order =
+    (self_attn, norm, cross_attn, norm, ffn, norm)."""
+
+    def __init__(self, embed_dims=256, num_heads=8, num_levels=4,
+                 sca_points=8, tsa_points=4, num_cams=6,
+                 feedforward_channels=512):
+        super().__init__()
+        self.attentions = nn.ModuleList([
+            TemporalSelfAttention(embed_dims, num_heads, 1, tsa_points),
+            SpatialCrossAttention(embed_dims, num_cams, num_heads,
+                                  num_levels, sca_points),
+        ])
+        self.norms = nn.ModuleList(
+            [nn.LayerNorm(embed_dims) for _ in range(3)]
+        )
+        self.ffns = nn.ModuleList([FFN(embed_dims, feedforward_channels)])
+
+    def forward(self, query, value, bev_pos, tsa_value, hybrid_ref_2d,
+                reference_points_cam, bev_mask, spatial_shapes,
+                bev_shape):
+        q = self.attentions[0](
+            query, tsa_value, bev_pos, hybrid_ref_2d, [bev_shape]
+        )
+        q = self.norms[0](q)
+        q = self.attentions[1](
+            q, value, None, reference_points_cam, bev_mask, spatial_shapes
+        )
+        q = self.norms[1](q)
+        q = self.ffns[0](q)
+        q = self.norms[2](q)
+        return q
+
+
+class CustomMSDeformableAttention(nn.Module):
+    """`modules/decoder.py:133-345`: single-level deformable decoder
+    cross-attention with output projection and residual."""
+
+    def __init__(self, embed_dims=256, num_heads=8, num_levels=1,
+                 num_points=4):
+        super().__init__()
+        self.embed_dims = embed_dims
+        self.num_heads = num_heads
+        self.num_levels = num_levels
+        self.num_points = num_points
+        self.sampling_offsets = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points * 2
+        )
+        self.attention_weights = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points
+        )
+        self.value_proj = nn.Linear(embed_dims, embed_dims)
+        self.output_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, value, query_pos, reference_points,
+                spatial_shapes):
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        b, q, _ = query.shape
+        h, l, p = self.num_heads, self.num_levels, self.num_points
+        v = self.value_proj(value).view(b, -1, h, self.embed_dims // h)
+        offsets = self.sampling_offsets(query).view(b, q, h, l, p, 2)
+        weights = self.attention_weights(query).view(
+            b, q, h, l * p
+        ).softmax(-1).view(b, q, h, l, p)
+        normalizer = torch.tensor(
+            [[ww, hh] for hh, ww in spatial_shapes], dtype=torch.float32
+        )
+        locations = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+        out = multi_scale_deformable_attn(v, spatial_shapes, locations, weights)
+        return self.output_proj(out) + identity
+
+
+def cls_branch(embed_dims, num_classes, num_reg_fcs=2):
+    """`dense_heads/bevformer_head.py:95-107` classification branch."""
+    layers = []
+    for _ in range(num_reg_fcs):
+        layers += [nn.Linear(embed_dims, embed_dims),
+                   nn.LayerNorm(embed_dims), nn.ReLU(inplace=True)]
+    layers.append(nn.Linear(embed_dims, num_classes))
+    return nn.Sequential(*layers)
+
+
+def reg_branch(embed_dims, code_size, num_reg_fcs=2):
+    """`dense_heads/bevformer_head.py:109-117` regression branch."""
+    layers = []
+    for _ in range(num_reg_fcs):
+        layers += [nn.Linear(embed_dims, embed_dims), nn.ReLU()]
+    layers.append(nn.Linear(embed_dims, code_size))
+    return nn.Sequential(*layers)
+
+
+class CanBusMLP(nn.Module):
+    """`modules/transformer.py:113-121` can-bus embedding MLP."""
+
+    def __init__(self, embed_dims=256, norm=True):
+        super().__init__()
+        self.mlp = nn.Sequential(
+            nn.Linear(18, embed_dims // 2), nn.ReLU(inplace=True),
+            nn.Linear(embed_dims // 2, embed_dims), nn.ReLU(inplace=True),
+        )
+        self.norm = nn.LayerNorm(embed_dims) if norm else nn.Identity()
+
+    def forward(self, can_bus):
+        return self.norm(self.mlp(can_bus))

@@ -38,6 +38,11 @@ def parse_args():
         "CustomDistEvalHook equivalent",
     )
     p.add_argument(
+        "--check-grads", action="store_true",
+        help="on the first step, list parameters with all-zero gradients "
+        "(the reference GradChecker hook)",
+    )
+    p.add_argument(
         "--cfg-options", nargs="*", default=[], help="key=val config overrides"
     )
     return p.parse_args()
@@ -154,7 +159,7 @@ def main():
         if args.resume_from:
             state = ckpt_lib.restore_checkpoint(args.resume_from, state)
             print(f"resumed from step {int(state.step)}")
-        step_fn = train.make_train_step(model, tx)
+        step_fn = train.make_train_step(model, tx, check_grads=args.check_grads)
 
         log_path = os.path.join(work_dir, "train_log.jsonl")
         t_start = time.time()
@@ -162,6 +167,10 @@ def main():
         for step in range(start_step, total_steps):
             batch = mesh_lib.shard_batch(mesh, collect_batch(step))
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+            ppn = metrics.pop("per_param_grad_norm", None)
+            if ppn is not None and step == start_step:
+                unused = train.unused_param_report(ppn, state.params)
+                print(json.dumps({"unused_params": unused, "step": step}))
             if step % args.log_interval == 0 or step == total_steps - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(
