@@ -163,7 +163,7 @@ def _kernel(wrows: int, d: int, stride: int, compute_dtype,
         fr = base + float(r)
         wr = jnp.where(y0 == fr, wy0, 0.0) + jnp.where(y0 == fr - 1.0, wy1, 0.0)
         acc = acc + wr * tmat[r * d : (r + 1) * d]
-    out_ref[0] = acc
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _payload_level(loc_l, attw_l, hh, ww):
@@ -279,7 +279,10 @@ def _forward(
                       mode="edge")
         attw = jnp.pad(attw, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    out = jnp.zeros((bh, d, n_pad), jnp.float32)
+    # per-level outputs and the cross-level sum ride in compute_dtype
+    # (bf16 mode halves the dominant [bh, d, n] HBM traffic; per-level
+    # accumulation inside the kernel stays f32)
+    out = jnp.zeros((bh, d, n_pad), compute_dtype)
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
         wwp = _round_up(ww, LANE)
@@ -302,14 +305,14 @@ def _forward(
         level_out = pl.pallas_call(
             functools.partial(_kernel, wrows, d, stride, compute_dtype),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((bh, d, n_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((bh, d, n_pad), compute_dtype),
             interpret=interpret,
         )(jrow, payload, vb)
         out = out + level_out
 
     out = out[:, :, :n]
     # reduce points per query (dense, no scatter), restore [B, Q, H*D]
-    out = out.reshape(b, h, d, q, p).sum(-1)
+    out = out.reshape(b, h, d, q, p).sum(-1, dtype=jnp.float32)
     return out.transpose(0, 3, 1, 2).reshape(b, q, h * d).astype(value.dtype)
 
 
@@ -389,7 +392,7 @@ def supported(value, spatial_shapes, sampling_locations) -> bool:
     return platform == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7, 8))
 def _pallas_vjp(
     value,
     spatial_shapes,
@@ -397,6 +400,7 @@ def _pallas_vjp(
     attention_weights,
     stride,
     halo,
+    cap_tile,
     compute_dtype,
     interpret,
 ):
@@ -407,22 +411,24 @@ def _pallas_vjp(
         attention_weights,
         stride=stride,
         halo=halo,
+        cap_tile=cap_tile,
         compute_dtype=compute_dtype,
         interpret=interpret,
     )
 
 
-def _fwd(value, spatial_shapes, loc, attw, stride, halo, compute_dtype,
-         interpret):
+def _fwd(value, spatial_shapes, loc, attw, stride, halo, cap_tile,
+         compute_dtype, interpret):
     out = _forward(
         value, spatial_shapes, loc, attw,
-        stride=stride, halo=halo, compute_dtype=compute_dtype,
-        interpret=interpret,
+        stride=stride, halo=halo, cap_tile=cap_tile,
+        compute_dtype=compute_dtype, interpret=interpret,
     )
     return out, (value, loc, attw)
 
 
-def _bwd(spatial_shapes, stride, halo, compute_dtype, interpret, res, g):
+def _bwd(spatial_shapes, stride, halo, cap_tile, compute_dtype, interpret,
+         res, g):
     from bevformer_tpu.kernels.msda import ms_deform_attn_patch
 
     value, loc, attw = res
@@ -446,6 +452,7 @@ def ms_deform_attn_pallas(
     *,
     stride=8,
     halo=8,
+    cap_tile=512,
     compute_dtype=jnp.float32,
 ):
     """Fused windowed TPU deformable attention (see module docstring).
@@ -467,6 +474,7 @@ def ms_deform_attn_pallas(
         attention_weights,
         stride,
         halo,
+        cap_tile,
         compute_dtype,
         interpret,
     )

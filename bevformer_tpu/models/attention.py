@@ -87,11 +87,16 @@ class MSDeformableAttention3D(nn.Module):
     # 'off', 'fp32', 'bf16'. Items are (query, z-anchor) pairs sorted by
     # projected anchor row so each kernel tile is row-coherent.
     fused_msda: str = "off"
-    # window geometry: halo must cover the learned offset spread (the
-    # grid-init bias alone reaches num_points rows) plus the per-tile
-    # anchor spread; audit with msda_pallas.window_drop_mass
-    fused_stride: int = 8
-    fused_halo: int = 16
+    # window geometry: kernel MXU cost scales with stride+halo+1 rows, so
+    # keep the window as small as exactness allows. halo must cover the
+    # learned offset spread (the grid-init bias alone reaches num_points=8
+    # rows) plus the per-tile anchor spread; stride 4 gives finer window
+    # placement. Audit with msda_pallas.window_drop_mass.
+    fused_stride: int = 4
+    fused_halo: int = 13
+    # kernel item-tile width (larger = less per-program overhead; a tile
+    # must stay row-coherent, trivially true at production item counts)
+    fused_cap_tile: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +106,8 @@ class MSDeformableAttention3D(nn.Module):
         value: jnp.ndarray,  # [b, k, e]
         reference_points: jnp.ndarray,  # [b, q, num_Z_anchors, 2]
         spatial_shapes: Tuple[Tuple[int, int], ...],
+        sort_perm: Optional[jnp.ndarray] = None,  # [b, q*nz] hoisted sort
+        sort_inv: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, q, _ = query.shape
         h, l, p = self.num_heads, self.num_levels, self.num_points
@@ -148,36 +155,45 @@ class MSDeformableAttention3D(nn.Module):
             # sorted by projected anchor row so every kernel tile is
             # row-coherent (the anchors of ONE query span too many image
             # rows to sort at query granularity). The permutation depends
-            # only on the frame-constant reference points.
+            # only on the frame-constant reference points — callers on a
+            # hot loop hoist it via sort_perm/sort_inv.
             from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
 
             ppa = p // nz
-            # anchor-minor point axis -> explicit anchor axis next to q
+            if sort_perm is None:
+                key = reference_points[..., 1].astype(jnp.float32).reshape(
+                    b, q * nz
+                )
+                sort_perm = jnp.argsort(key, axis=1)
+                sort_inv = jnp.argsort(sort_perm, axis=1)
+            # anchor-minor point axis -> explicit anchor axis next to q;
+            # permute on FLAT contiguous rows (multi-dim trailing indices
+            # lower to element-granular gathers: measured 95 -> ~11 ms)
             loc_a = (
                 locations.reshape(b, q, h, l, ppa, nz, 2)
                 .transpose(0, 1, 5, 2, 3, 4, 6)
-                .reshape(b, q * nz, h, l, ppa, 2)
+                .reshape(b, q * nz, h * l * ppa * 2)
             )
             w_a = (
                 weights.reshape(b, q, h, l, ppa, nz)
                 .transpose(0, 1, 5, 2, 3, 4)
-                .reshape(b, q * nz, h, l, ppa)
+                .reshape(b, q * nz, h * l * ppa)
             )
-            key = reference_points[..., 1].astype(jnp.float32).reshape(b, q * nz)
-            perm = jnp.argsort(key, axis=1)
-            inv = jnp.argsort(perm, axis=1)
-            loc_s = jnp.take_along_axis(
-                loc_a, perm[:, :, None, None, None, None], axis=1
+            # one fused row-gather for both tensors (row-count bound)
+            lw = jnp.take_along_axis(
+                jnp.concatenate([loc_a, w_a], axis=-1),
+                sort_perm[:, :, None],
+                axis=1,
             )
-            w_s = jnp.take_along_axis(
-                w_a, perm[:, :, None, None, None], axis=1
-            )
+            loc_s = lw[..., : h * l * ppa * 2].reshape(b, q * nz, h, l, ppa, 2)
+            w_s = lw[..., h * l * ppa * 2 :].reshape(b, q * nz, h, l, ppa)
             out_s = ms_deform_attn_pallas(
                 v, spatial_shapes, loc_s, w_s,
                 stride=self.fused_stride, halo=self.fused_halo,
+                cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),
             )  # [b, q*nz, h*dh]
-            out = jnp.take_along_axis(out_s, inv[:, :, None], axis=1)
+            out = jnp.take_along_axis(out_s, sort_inv[:, :, None], axis=1)
             return out.reshape(b, q, nz, h * dh).sum(axis=2).astype(out_s.dtype)
 
         if self.window > 0:
@@ -243,6 +259,40 @@ class MSDeformableAttention3D(nn.Module):
         return ms_deform_attn(v, spatial_shapes, locations, weights)
 
 
+def sca_capacity_precompute(
+    reference_points_cam: jnp.ndarray,  # [bs, cams, q, nz, 2]
+    bev_mask: jnp.ndarray,  # [bs, cams, q, nz] bool
+    capacity_ratio: float,
+    *,
+    with_sort: bool = True,
+):
+    """Frame-constant SCA routing state: per-camera top-`cap` visible query
+    selection plus the (query, z-anchor) row-sort permutation used by the
+    fused kernel. Everything here depends only on the camera geometry of
+    the frame — hoist it out of the encoder's layer loop (the reference
+    recomputes its dynamic `nonzero()` rebatch every layer,
+    `spatial_cross_attention.py:136-167`; we pay once per frame)."""
+    bs, cams, q, nz = bev_mask.shape
+    cap = (int(q * capacity_ratio) + 127) // 128 * 128
+    cap = min(cap, q)
+    anyz = jnp.any(bev_mask, axis=-1)  # [bs, cams, q]
+    vis = anyz.astype(jnp.float32)
+    _, top_idx = jax.lax.top_k(
+        vis - jnp.arange(q, dtype=jnp.float32)[None, None] * 1e-9, cap
+    )  # [bs, cams, cap], stable order among visible
+    ref_sel = jnp.take_along_axis(
+        reference_points_cam, top_idx[..., None, None], axis=2
+    )  # [bs, cams, cap, nz, 2]
+    vis_sel = jnp.take_along_axis(anyz, top_idx, axis=2)
+    out = dict(top_idx=top_idx, ref_sel=ref_sel, vis_sel=vis_sel, anyz=anyz)
+    if with_sort:
+        key = ref_sel[..., 1].astype(jnp.float32).reshape(bs * cams, cap * nz)
+        perm = jnp.argsort(key, axis=1)
+        out["sort_perm"] = perm
+        out["sort_inv"] = jnp.argsort(perm, axis=1)
+    return out
+
+
 class SpatialCrossAttention(nn.Module):
     """Camera -> BEV cross attention, dense masked formulation.
 
@@ -279,6 +329,7 @@ class SpatialCrossAttention(nn.Module):
         spatial_shapes: Tuple[Tuple[int, int], ...],
         *,
         deterministic: bool = True,
+        precomputed: Optional[dict] = None,  # sca_capacity_precompute output
     ) -> jnp.ndarray:
         bs, q, e = query.shape
         cams = self.num_cams
@@ -301,31 +352,31 @@ class SpatialCrossAttention(nn.Module):
         v = value.reshape(bs * cams, -1, e)
 
         if self.capacity_ratio and self.capacity_ratio < 1.0:
-            cap = (int(q * self.capacity_ratio) + 127) // 128 * 128
-            cap = min(cap, q)
-            # top-`cap` visible queries per camera (ties broken by index;
-            # invisible slots may pad the tail and are masked out below)
-            vis = anyz.astype(jnp.float32)
-            _, top_idx = jax.lax.top_k(
-                vis - jnp.arange(q, dtype=jnp.float32)[None, None] * 1e-9, cap
-            )  # [bs, cams, cap], stable order among visible
+            pre = precomputed
+            if pre is None:
+                pre = sca_capacity_precompute(
+                    reference_points_cam,
+                    bev_mask,
+                    self.capacity_ratio,
+                    with_sort=_fused_mode(self.fused_msda) != "off",
+                )
+            top_idx = pre["top_idx"]  # [bs, cams, cap]
+            ref_sel = pre["ref_sel"]
+            vis_sel = pre["vis_sel"]
+            cap = top_idx.shape[-1]
             sel = jax.vmap(
                 jax.vmap(lambda arr, i: arr[i], in_axes=(None, 0)),
                 in_axes=(0, 0),
             )
             q_sel = sel(query, top_idx)  # [bs, cams, cap, e]
-            ref_sel = jnp.take_along_axis(
-                reference_points_cam,
-                top_idx[..., None, None],
-                axis=2,
-            )
-            vis_sel = jnp.take_along_axis(anyz, top_idx, axis=2)
 
             attn = inner(
                 q_sel.reshape(bs * cams, cap, e),
                 v,
                 ref_sel.reshape(bs * cams, cap, -1, 2),
                 spatial_shapes,
+                sort_perm=pre.get("sort_perm"),
+                sort_inv=pre.get("sort_inv"),
             ).reshape(bs, cams, cap, e)
             attn = attn * vis_sel[..., None].astype(attn.dtype)
             # scatter-add back to BEV slots
@@ -379,8 +430,11 @@ class TemporalSelfAttention(nn.Module):
     # fused Pallas windowed kernel: 'auto' (bf16 on TPU, off on CPU),
     # 'off', 'fp32', 'bf16'
     fused_msda: str = "off"
-    fused_stride: int = 8
-    fused_halo: int = 8
+    # TSA offsets are small (grid-init bias <= num_points=4 rows); the
+    # window only needs tile spread + 2*4 + 1 rows
+    fused_stride: int = 4
+    fused_halo: int = 6
+    fused_cap_tile: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -452,6 +506,7 @@ class TemporalSelfAttention(nn.Module):
             out = ms_deform_attn_pallas(
                 v, ((bev_h, bev_w),), locations, weights,
                 stride=self.fused_stride, halo=self.fused_halo,
+                cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),
             )
         elif self.window_radius > 0:

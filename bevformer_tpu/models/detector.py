@@ -79,12 +79,19 @@ class BEVFormer(nn.Module):
         *,
         only_bev: bool = False,
         training: bool = False,
+        feats: Optional[Sequence[jnp.ndarray]] = None,
     ):
-        """Single-frame forward. Returns head outputs (or BEV if only_bev)."""
+        """Single-frame forward. Returns head outputs (or BEV if only_bev).
+
+        feats: precomputed `extract_feat` output — lets the training
+        history unroll batch the backbone over bs*(T-1) frames at once
+        (the reference's `obtain_history_bev`, `bevformer.py:158-177`).
+        """
         c = self.cfg
-        feats = self.extract_feat(
-            images, use_grid_mask=c.use_grid_mask and training
-        )
+        if feats is None:
+            feats = self.extract_feat(
+                images, use_grid_mask=c.use_grid_mask and training
+            )
         return self.pts_bbox_head(
             feats,
             can_bus,

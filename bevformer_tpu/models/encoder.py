@@ -17,6 +17,7 @@ from bevformer_tpu.core import geometry
 from bevformer_tpu.models.attention import (
     SpatialCrossAttention,
     TemporalSelfAttention,
+    sca_capacity_precompute,
 )
 from bevformer_tpu.models.layers import FFN
 from bevformer_tpu.runtime.mesh import maybe_shard
@@ -53,6 +54,7 @@ class BEVFormerLayer(nn.Module):
         bev_w: int,
         *,
         deterministic: bool = True,
+        sca_precomputed=None,
     ) -> jnp.ndarray:
         query = TemporalSelfAttention(
             embed_dims=self.embed_dims,
@@ -89,6 +91,7 @@ class BEVFormerLayer(nn.Module):
             bev_mask,
             spatial_shapes,
             deterministic=deterministic,
+            precomputed=sca_precomputed,
         )
         query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
         query = FFN(
@@ -134,6 +137,7 @@ class _EncoderScanBody(nn.Module):
             hybrid_ref_2d,
             reference_points_cam,
             bev_mask,
+            sca_precomputed,
         ) = consts
         spatial_shapes = self.spatial_shapes
         bev_h, bev_w = self.bev_h, self.bev_w
@@ -167,6 +171,7 @@ class _EncoderScanBody(nn.Module):
             bev_h,
             bev_w,
             deterministic=self.deterministic,
+            sca_precomputed=sca_precomputed,
         )
         output = maybe_shard(output, "dp", "sp", None)
         return output, None
@@ -240,6 +245,14 @@ class BEVFormerEncoder(nn.Module):
         # independently -> no communication inside SCA/TSA)
         output = maybe_shard(bev_query, "dp", "sp", None)
 
+        # frame-constant SCA routing (camera top-k + fused-kernel row sort)
+        # computed ONCE and broadcast through the layer scan
+        sca_pre = None
+        if self.sca_capacity_ratio and self.sca_capacity_ratio < 1.0:
+            sca_pre = sca_capacity_precompute(
+                reference_points_cam, bev_mask, self.sca_capacity_ratio
+            )
+
         zeros = jnp.zeros_like(output)
         consts = (
             value,
@@ -250,6 +263,7 @@ class BEVFormerEncoder(nn.Module):
             hybrid_ref_2d,
             reference_points_cam,
             bev_mask,
+            sca_pre,
         )
         # gradient checkpointing (reference's with_cp / torch.utils.checkpoint,
         # `mmdet ResNet`-style): recompute each encoder layer in the backward

@@ -62,6 +62,18 @@ def history_bev(
     bev_size = model.cfg.bev_h * model.cfg.bev_w
     prev = jnp.zeros((bs, bev_size, model.cfg.embed_dims), jnp.float32)
     has = jnp.zeros((bs,), bool)
+    # batch the backbone over ALL history frames at once (the reference
+    # reshapes to bs*(T-1) imgs, `bevformer.py:167`); history compute is
+    # cut from the gradient by the stop_gradient on the bev carry, so XLA
+    # dead-code-eliminates its backward exactly like torch.no_grad()
+    cams, h, w = batch.images.shape[2:5]
+    imgs_hist = batch.images[:, : t - 1].reshape(bs * (t - 1), cams, h, w, 3)
+    feats_hist = model.apply(
+        params, imgs_hist, method="extract_feat"
+    )
+    feats_hist = [
+        f.reshape((bs, t - 1) + f.shape[1:]) for f in feats_hist
+    ]
     for i in range(t - 1):
         exists = batch.prev_exists[:, i]
         has = has & exists  # scene break resets history
@@ -74,6 +86,7 @@ def history_bev(
             has,
             only_bev=True,
             training=False,
+            feats=[f[:, i] for f in feats_hist],
         )
         prev = jax.lax.stop_gradient(bev.astype(jnp.float32))
         has = jnp.ones((bs,), bool)

@@ -279,12 +279,19 @@ def test_tsa_fused_matches_off():
     from bevformer_tpu.models.attention import TemporalSelfAttention
 
     rng = np.random.RandomState(21)
-    bs, bev_h, bev_w, e = 1, 16, 20, 64
+    # bev_w wide enough that a 256-item tile spans ~1 BEV row (as in the
+    # real 200-wide grids); narrow grids would need a larger fused_halo
+    bs, bev_h, bev_w, e = 1, 12, 128, 64
     q = bev_h * bev_w
     query = jnp.array(rng.randn(bs, q, e) * 0.1, jnp.float32)
     vq = jnp.array(rng.randn(bs, 2, q, e) * 0.1, jnp.float32)
     pos = jnp.array(rng.randn(bs, q, e) * 0.1, jnp.float32)
-    ref = jnp.array(rng.rand(bs, 2, q, 1, 2), jnp.float32)
+    # real TSA contract: grid-aligned 2D reference points (+ small shift
+    # on the prev slot), not arbitrary locations
+    from bevformer_tpu.core import geometry
+    ref2d = geometry.reference_points_2d(bev_h, bev_w, bs=bs)  # [bs,q,1,2]
+    shift = jnp.array([[0.01, -0.008]], jnp.float32)
+    ref = jnp.stack([ref2d + shift[:, None, None], ref2d], axis=1)
 
     kw = dict(embed_dims=e, num_heads=4, num_points=4)
     m_off = TemporalSelfAttention(fused_msda="off", **kw)
@@ -304,7 +311,7 @@ def test_sca_inner_fused_matches_off():
     from bevformer_tpu.models.attention import MSDeformableAttention3D
 
     rng = np.random.RandomState(22)
-    b, q, e, nz = 2, 300, 64, 4
+    b, q, e, nz = 1, 2000, 64, 4
     shapes = ((40, 25), (20, 13), (10, 7), (5, 4))
     k = sum(h * w for h, w in shapes)
     query = jnp.array(rng.randn(b, q, e) * 0.1, jnp.float32)

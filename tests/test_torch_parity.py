@@ -404,3 +404,106 @@ def test_encoder_layer_parity_via_exported_state_dict():
         (bev_h, bev_w),
     )
     assert_close(ours, theirs, name="encoder_layer_via_export")
+
+
+def test_backbone_fpn_parity():
+    """ResNet-50 (frozen BN, pytorch style) + FPN activation parity against
+    a from-scratch torch replica of the mmdet backbone/neck semantics."""
+    from bevformer_tpu.models.resnet import ResNet, ARCH_SETTINGS
+    from bevformer_tpu.models.fpn import FPN
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(1, 64, 96, 3).astype(np.float32)
+
+    bb = ResNet(depth=50, out_indices=(1, 2, 3), dcn_stages=(),
+                style="pytorch", norm="frozen")
+    params = bb.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # random-but-sane frozen BN stats
+    def jitter(p, key=[0]):
+        key[0] += 1
+        r = np.random.RandomState(key[0])
+        return jax.tree.map(
+            lambda a: jnp.asarray(r.randn(*a.shape).astype(np.float32) * 0.05
+                                  + (1.0 if a.ndim == 1 else 0.0) * 0.5), p
+        )
+    params = jax.tree.map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(a.size % 9973).randn(*a.shape).astype(
+                np.float32
+            ) * 0.05
+        ),
+        params,
+    )
+    # variances must be positive
+    def fix_var(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (jnp.abs(v) + 0.5 if k == "var" else fix_var(v))
+                for k, v in tree.items()
+            }
+        return tree
+    params = fix_var(params)
+
+    feats = bb.apply(params, jnp.asarray(x))
+
+    rep = tr.ResNet(ARCH_SETTINGS[50], out_indices=(1, 2, 3)).eval()
+    pp = params["params"] if "params" in params else params
+    bs_ = params.get("batch_stats", {})
+
+    def load_conv(mod, kern):
+        mod.weight.data = t(kern).permute(3, 2, 0, 1).contiguous()
+
+    def load_bn(mod, pdict):
+        mod.weight.data = t(pdict["scale"])
+        mod.bias.data = t(pdict["bias"])
+        mod.running_mean.data = t(pdict["mean"])
+        mod.running_var.data = t(pdict["var"])
+
+    load_conv(rep.conv1, pp["stem_conv"]["kernel"])
+    load_bn(rep.bn1, pp["stem_bn"])
+    blocks = ARCH_SETTINGS[50]
+    for s, n in enumerate(blocks):
+        layer = getattr(rep, f"layer{s + 1}")
+        b0 = pp[f"layer{s + 1}_block0"]
+        load_conv(layer[0].conv1, b0["conv1"]["kernel"])
+        load_conv(layer[0].conv2, b0["conv2"]["kernel"])
+        load_conv(layer[0].conv3, b0["conv3"]["kernel"])
+        for i_bn in (1, 2, 3):
+            load_bn(getattr(layer[0], f"bn{i_bn}"), b0[f"bn{i_bn}"])
+        load_conv(layer[0].downsample[0], b0["downsample_conv"]["kernel"])
+        load_bn(layer[0].downsample[1], b0["downsample_bn"])
+        rest = pp[f"layer{s + 1}_rest"]["block"]
+        for i in range(1, n):
+            blk = jax.tree.map(lambda a: a[i - 1], rest)
+            load_conv(layer[i].conv1, blk["conv1"]["kernel"])
+            load_conv(layer[i].conv2, blk["conv2"]["kernel"])
+            load_conv(layer[i].conv3, blk["conv3"]["kernel"])
+            for i_bn in (1, 2, 3):
+                load_bn(getattr(layer[i], f"bn{i_bn}"), blk[f"bn{i_bn}"])
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        tfeats = rep(xt)
+    for i, (a, b) in enumerate(zip(feats, tfeats)):
+        assert_close(a, b.permute(0, 2, 3, 1), tol=5e-4, name=f"stage{i}")
+
+    # FPN on top
+    neck = FPN(in_channels=(512, 1024, 2048), out_channels=64, num_outs=4)
+    nparams = neck.init(jax.random.PRNGKey(1), feats)
+    ours = neck.apply(nparams, feats)
+    trep = tr.FPN((512, 1024, 2048), 64, 4)
+    npp = nparams["params"]
+    for i in range(3):
+        trep.lateral_convs[i].weight.data = t(
+            npp[f"lateral{i}"]["kernel"]
+        ).permute(3, 2, 0, 1).contiguous()
+        trep.lateral_convs[i].bias.data = t(npp[f"lateral{i}"]["bias"])
+    for i in range(4):
+        trep.fpn_convs[i].weight.data = t(
+            npp[f"fpn{i}"]["kernel"]
+        ).permute(3, 2, 0, 1).contiguous()
+        trep.fpn_convs[i].bias.data = t(npp[f"fpn{i}"]["bias"])
+    with torch.no_grad():
+        touts = trep(tfeats)
+    for i, (a, b) in enumerate(zip(ours, touts)):
+        assert_close(a, b.permute(0, 2, 3, 1), tol=5e-4, name=f"fpn{i}")

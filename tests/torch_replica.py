@@ -367,3 +367,99 @@ class CanBusMLP(nn.Module):
 
     def forward(self, can_bus):
         return self.norm(self.mlp(can_bus))
+
+
+class Bottleneck(nn.Module):
+    """mmdet ResNet bottleneck, style='pytorch' (stride on the 3x3 conv),
+    BN frozen (eval running stats) — `mmdet/models/backbones/resnet.py`
+    semantics as used by the reference configs."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+        self.relu = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + idt)
+
+
+class ResNet(nn.Module):
+    """Reference backbone (`img_backbone`): 7x7 stem + 4 bottleneck stages,
+    frozen BN everywhere (eval mode)."""
+
+    def __init__(self, blocks=(3, 4, 6, 3), out_indices=(1, 2, 3)):
+        super().__init__()
+        self.out_indices = out_indices
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes, planes = 64, 64
+        for s, n in enumerate(blocks):
+            stride = 1 if s == 0 else 2
+            layers = [Bottleneck(inplanes, planes, stride, downsample=True)]
+            inplanes = planes * 4
+            layers += [Bottleneck(inplanes, planes) for _ in range(n - 1)]
+            setattr(self, f"layer{s + 1}", nn.Sequential(*layers))
+            planes *= 2
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        outs = []
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+            if s in self.out_indices:
+                outs.append(x)
+        return outs
+
+
+class FPN(nn.Module):
+    """mmdet FPN with add_extra_convs='on_output' +
+    relu_before_extra_convs (`img_neck` of the base config)."""
+
+    def __init__(self, in_channels, out_channels=256, num_outs=4):
+        super().__init__()
+        self.num_outs = num_outs
+        self.lateral_convs = nn.ModuleList(
+            [nn.Conv2d(c, out_channels, 1) for c in in_channels]
+        )
+        self.fpn_convs = nn.ModuleList(
+            [nn.Conv2d(out_channels, out_channels, 3, padding=1)
+             for _ in in_channels]
+        )
+        for _ in range(num_outs - len(in_channels)):
+            self.fpn_convs.append(
+                nn.Conv2d(out_channels, out_channels, 3, stride=2, padding=1)
+            )
+
+    def forward(self, inputs):
+        laterals = [c(x) for c, x in zip(self.lateral_convs, inputs)]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + F.interpolate(
+                laterals[i], size=laterals[i - 1].shape[-2:], mode="nearest"
+            )
+        outs = [c(l) for c, l in zip(self.fpn_convs, laterals)]
+        used = len(laterals)
+        src = outs[-1]
+        for i in range(used, self.num_outs):
+            if i > used:
+                src = F.relu(src)
+            src = self.fpn_convs[i](src)
+            outs.append(src)
+        return outs

@@ -71,6 +71,12 @@ if "sca" in which or "sort" in which:
         timed(perm_vmap, (key_, loc_a, out_s), "sort+permute vmap-row-take")
 
     if "sca" in which:
+        # hoisted frame-constant sort (as the encoder provides per frame)
+        from bevformer_tpu.models.attention import sca_capacity_precompute
+        key_s = ref[..., 1].reshape(b, q * nz)
+        perm_h = jnp.argsort(key_s, axis=1)
+        inv_h = jnp.argsort(perm_h, axis=1)
+
         for mode in ("bf16", "off"):
             mod = MSDeformableAttention3D(
                 embed_dims=e, num_heads=8, num_levels=4, num_points=8,
@@ -90,8 +96,16 @@ if "sca" in which or "sort" in which:
                     params, qq, value, ref, shapes
                 ),
                 (query,),
-                f"SCA inner fused={mode}",
+                f"SCA inner fused={mode} (inline sort)",
             )
+            if mode != "off":
+                timed(
+                    lambda qq, params=params, mod=mod: mod.apply(
+                        params, qq, value, ref, shapes, perm_h, inv_h
+                    ),
+                    (query,),
+                    f"SCA inner fused={mode} (hoisted sort)",
+                )
 
 if "tsa" in which:
     from bevformer_tpu.models.attention import TemporalSelfAttention

@@ -74,17 +74,21 @@ if __name__ == "__main__":
     if "patch" in which:
         timed(lambda v, l, ww: _msda_patch_chunked(v, SHAPES, l, ww),
               f"patch       Q={Q}")
-    for name, dt_, s_, h_ in (
-        ("fused_bf16", jnp.bfloat16, 8, 8),
-        ("fused_f32", jnp.float32, 8, 8),
-        ("fused_bf16_s16", jnp.bfloat16, 16, 8),
-        ("fused_bf16_s4", jnp.bfloat16, 4, 8),
+    for name, dt_, s_, h_, ct_ in (
+        ("fused_bf16", jnp.bfloat16, 8, 8, 256),
+        ("fused_f32", jnp.float32, 8, 8, 256),
+        ("fused_bf16_s16", jnp.bfloat16, 16, 8, 256),
+        ("fused_bf16_s4", jnp.bfloat16, 4, 8, 256),
+        ("fused_bf16_s4h13", jnp.bfloat16, 4, 13, 256),
+        ("fused_bf16_s4h13_ct512", jnp.bfloat16, 4, 13, 512),
+        ("fused_bf16_s4h13_ct1024", jnp.bfloat16, 4, 13, 1024),
     ):
         if name not in which:
             continue
         timed(
-            lambda v, l, ww, dt_=dt_, s_=s_, h_=h_: mp._forward(
-                v, SHAPES, l, ww, stride=s_, halo=h_, compute_dtype=dt_,
+            lambda v, l, ww, dt_=dt_, s_=s_, h_=h_, ct_=ct_: mp._forward(
+                v, SHAPES, l, ww, stride=s_, halo=h_, cap_tile=ct_,
+                compute_dtype=dt_,
             ),
             f"{name:<12} Q={Q}",
         )
