@@ -204,9 +204,9 @@ def _render_image(path, centers, wlh, rig, img_w, img_h, rng):
 
     img = np.full((img_h, img_w, 3), 90, np.uint8)
     # noise texture so the backbone sees structure
-    img += (rng.rand(img_h // 8, img_w // 8, 3).repeat(8, 0).repeat(8, 1) * 40).astype(
-        np.uint8
-    )
+    noise = (rng.rand(-(-img_h // 8), -(-img_w // 8), 3)
+             .repeat(8, 0).repeat(8, 1) * 40).astype(np.uint8)
+    img += noise[:img_h, :img_w]
     rot, tr, intr = rig["rotation"], rig["translation"], rig["intrinsic"]
     cam_pts = (centers - tr[None]) @ rot  # lidar -> camera frame
     for p, dims in zip(cam_pts, wlh):

@@ -35,6 +35,7 @@ class BEVFormerV2(nn.Module):
             dcn_stages=c.backbone_dcn_stages,
             style=c.backbone_style,
             norm=c.backbone_norm,
+            use_remat=c.use_remat,
             dtype=dtype,
             name="img_backbone",
         )

@@ -351,6 +351,11 @@ class ResNet(nn.Module):
     dcn_stages: Tuple[int, ...] = ()  # e.g. (2, 3) for R101-DCN
     style: str = "pytorch"
     norm: str = "frozen"  # 'frozen' (v1: norm_eval + no grad) | 'bn' (v2)
+    # gradient-checkpoint each scanned block: without it the scan saves
+    # every block's residuals for backward — the DCN im2col alone is
+    # [n_blocks, cams, h, w, 9, C] (measured 36 GB for R101 stage 3 at
+    # base resolution, an instant train-time OOM on a 16 GB chip)
+    use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -387,8 +392,11 @@ class ResNet(nn.Module):
                 name=f"layer{stage + 1}_block0",
             )(out, train)
             if num_blocks > 1:
+                body = _BlockScanBody
+                if self.use_remat:
+                    body = nn.remat(_BlockScanBody, prevent_cse=False)
                 scanned = nn.scan(
-                    _BlockScanBody,
+                    body,
                     variable_axes={"params": 0, "batch_stats": 0},
                     split_rngs={"params": True},
                     length=num_blocks - 1,

@@ -136,3 +136,30 @@ def test_fp16_train_argv_override():
     argv = ["prog", "bevformer_tiny", "--data-root", "/d"]
     ns = p.parse_args(mod.force_bf16_argv(argv)[1:])
     assert ns.cfg_options == ["dtype=bfloat16"]
+
+
+def test_visualize_results_tool(tmp_path):
+    """tools/misc/visualize_results.py writes one BEV PNG per sample."""
+    import json
+    import subprocess
+    import sys
+
+    res = [
+        {
+            "token": f"tok{i}",
+            "boxes_3d": [[5.0 + i, 2.0, -1.0, 2.0, 4.5, 1.6, 0.5, 0.1, 0.0]],
+            "scores_3d": [0.9],
+            "labels_3d": [0],
+        }
+        for i in range(2)
+    ]
+    rp = tmp_path / "results.json"
+    rp.write_text(json.dumps(res))
+    out = subprocess.run(
+        [sys.executable, "tools/misc/visualize_results.py", "--result",
+         str(rp), "--show-dir", str(tmp_path / "vis")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    pngs = sorted(p.name for p in (tmp_path / "vis").glob("*.png"))
+    assert pngs == ["tok0_bev.png", "tok1_bev.png"]

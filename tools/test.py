@@ -29,6 +29,11 @@ def parse_args():
         "--format-only", action="store_true",
         help="only write the nuScenes submission json",
     )
+    p.add_argument(
+        "--overlap-test", action="store_true",
+        help="evaluate only boxes in camera-overlap regions "
+        "(NuScenesEval_custom overlap_test mode)",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -118,6 +123,16 @@ def main():
                 boxes[:, 2] -= 0.5 * boxes[:, 5]  # gravity -> bottom z
             gt_by_token[info["token"]] = dict(
                 boxes=boxes, labels=ann["gt_labels"]
+            )
+        if args.overlap_test:
+            from bevformer_tpu.core.evaluation import apply_overlap_filter
+
+            l2i_by_token = {
+                ds.infos[i]["token"]: ds.frame_record(i)["lidar2img"]
+                for i in range(n)
+            }
+            results, gt_by_token = apply_overlap_filter(
+                results, gt_by_token, l2i_by_token, cfg.data.raw_size
             )
         metrics = evaluate_detections(
             results, gt_by_token, class_names=CLASS_NAMES, verbose=True
