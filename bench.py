@@ -63,7 +63,12 @@ def main():
     try:
         def chained(p, imgs, pb):
             def body(c, _):
-                return step_p(p, imgs, c)[0], ()
+                # thread the carry into the IMAGES too: with loop-invariant
+                # imgs XLA hoists the whole backbone+neck out of the scan
+                # and the bench times only the carry-dependent encoder
+                # (measured: base "0.958 FPS" vs a true 0.67)
+                imgs_c = imgs + (c[0, 0, 0] * 1e-24).astype(imgs.dtype)
+                return step_p(p, imgs_c, c)[0], ()
             bev, _ = jax.lax.scan(body, pb, None, length=N_STEPS)
             return bev.sum()
 

@@ -101,6 +101,12 @@ class BEVFormerConfig:
     # fused Pallas windowed msda kernel for TSA/SCA: 'auto' picks bf16 on a
     # real TPU and the exact XLA paths on CPU; 'off'|'fp32'|'bf16' force
     fused_msda: str = "auto"
+    # fused Pallas DCNv2 sampling in the backbone: same mode set as
+    # fused_msda ('auto' -> bf16 on TPU, XLA gather path elsewhere)
+    fused_dcn: str = "auto"
+    # vertical-offset clip radius of the fused DCN kernel (feature pixels);
+    # horizontal offsets are exact. Only used when the fused path is active.
+    dcn_clip_y: float = 6.0
     # gradient-checkpoint (jax.checkpoint) each encoder layer during training
     use_remat: bool = False
     rotate_prev_bev: bool = True

@@ -1,0 +1,338 @@
+"""Fused Pallas TPU kernel for DCNv2 (modulated deformable conv) sampling.
+
+Replaces the bilinear-gather im2col in `models/resnet.py::ModulatedDeformConv`
+(reference semantics: mmcv CUDA `DCNv2`, used by the R101-DCN backbone,
+`/root/reference/projects/configs/bevformer/bevformer_base.py:52-53`).
+
+Why: the XLA gather path is gather-engine bound (~25 GB/s of slice bytes,
+BENCH_NOTES cost model) — measured 485 ms of the 543 ms base backbone. This
+kernel is the DCN specialisation of the windowed multi-hot design in
+`kernels/msda_pallas.py`:
+
+  * Items are output pixels in raster order — naturally row-coherent, no
+    sort needed. A `cap_tile` tile spans ~ceil(ct/OW) consecutive rows.
+  * All 9 taps of one pixel tile share one VMEM-resident row-window block
+    of the input; each tap builds its own column multi-hot `wcol[wwp, ct]`
+    (taps have independent offsets in DCNv2) and contracts on the MXU,
+    then combines rows with register compares. The 4-corner bilinear +
+    modulation mask are folded into the column/row weights exactly as the
+    attention weights are in msda_pallas.
+  * Channels are processed in `Cc`-sized chunks so the [wrows*Cc, ct]
+    matmul output fits VMEM (~16 MB/core).
+  * Vertical offsets are clipped to ±clip_y so every tile's rows fit its
+    window — the ONLY deviation from reference DCNv2 semantics (horizontal
+    offsets are exact: windows span the full padded width). clip_y=6 at
+    1/16 resolution is ±96 input pixels; trained DCN offsets are far
+    smaller. The backward pass differentiates the same clipped formulation.
+
+Validated against the gather path in tests/test_dcn_pallas.py (interpret
+mode on CPU; exact for offsets within the clip).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevformer_tpu.kernels.msda_pallas import _round_up, _tile_windows
+
+LANE = 128
+K = 3  # kernel size (3x3, the only size the reference backbone uses)
+
+
+def _wrows_for(ct: int, ow: int, conv_stride: int, clip_y: float,
+               stride: int) -> int:
+    """Window rows needed so every ct-item tile's bilinear rows fit.
+
+    Tile pixel rows span ceil(ct/ow) output rows = conv_stride * that in
+    input rows; taps add +-1, offsets +-clip, the bottom bilinear corner
+    +1, window-start quantisation +stride-1, +1 safety margin."""
+    row_span = conv_stride * (math.ceil(ct / ow) + 1)
+    return row_span + 2 + 2 * math.ceil(clip_y) + 2 + (stride - 1) + 1
+
+
+def prepare_dcn_windows(x, *, stride: int, wrows: int, cc: int,
+                        compute_dtype=jnp.bfloat16):
+    """[B, H, W, C] -> [B, nw, C//cc, wrows*cc, wwp] overlapping row-window
+    blocks; window j holds input rows [j*stride, j*stride + wrows)."""
+    b, h, w, c = x.shape
+    assert c % cc == 0, (c, cc)
+    wwp = _round_up(w, LANE)
+    nw = max(-(-h // stride), 1)
+    xp = jnp.pad(
+        x, ((0, 0), (0, (nw - 1) * stride + wrows - h), (0, wwp - w), (0, 0))
+    )
+    wins = jnp.stack(
+        [xp[:, j * stride : j * stride + wrows] for j in range(nw)], axis=1
+    )  # [b, nw, wrows, wwp, c]
+    wins = wins.reshape(b, nw, wrows, wwp, c // cc, cc)
+    wins = wins.transpose(0, 1, 4, 2, 5, 3)  # [b, nw, ncc, wrows, cc, wwp]
+    return wins.reshape(b, nw, c // cc, wrows * cc, wwp).astype(compute_dtype)
+
+
+def _kernel(wrows, ncc, cc, stride, compute_dtype,
+            jrow_ref, pay_ref, val_ref, out_ref):
+    """One (batch, pixel-tile, tap) step. Taps ride the innermost grid dim
+    so the out block is [C, CT] (not [9C, CT] — VMEM) and the val window
+    block stays resident across all 9 tap steps of a tile.
+
+    jrow_ref: scalar-prefetch [b, nt] window index per tile.
+    pay_ref:  [1, 1, 8, CT] f32 — this tap's (x0, wx0*m, wx1*m, y0, wy0,
+              wy1, 0, 0) channels.
+    val_ref:  [1, 1, ncc, wrows*cc, wwp] — this tile's window block.
+    out_ref:  [1, C, CT] — sampled*mask for this tap.
+    """
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    j = jrow_ref[i, t]
+    wwp = val_ref.shape[-1]
+    ct = pay_ref.shape[-1]
+
+    base = (j * stride).astype(jnp.float32)
+    cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
+    pay = pay_ref[0, 0]
+    x0 = pay[0:1]
+    wx0 = pay[1:2]
+    wx1 = pay[2:3]
+    y0 = pay[3:4]
+    wy0 = pay[4:5]
+    wy1 = pay[5:6]
+    xi = x0.astype(jnp.int32)
+    wcol = jnp.where(cio == xi, wx0, 0.0) + jnp.where(cio == xi + 1, wx1, 0.0)
+    wcol = wcol.astype(compute_dtype)
+    # row weights shared by every channel chunk — hoist off the cc loop
+    wr = [
+        jnp.where(y0 == base + float(r), wy0, 0.0)
+        + jnp.where(y0 == base + float(r) - 1.0, wy1, 0.0)
+        for r in range(wrows)
+    ]
+    for cci in range(ncc):
+        val = val_ref[0, 0, cci]  # [wrows*cc, wwp]
+        tm = jnp.dot(
+            val, wcol, preferred_element_type=jnp.float32
+        )  # [wrows*cc, ct]
+        acc = jnp.zeros((cc, ct), jnp.float32)
+        for r in range(wrows):
+            acc = acc + wr[r] * tm[r * cc : (r + 1) * cc]
+        out_ref[0, cci * cc : (cci + 1) * cc, :] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conv_stride", "clip_y", "cap_tile", "stride", "cc",
+        "compute_dtype", "interpret",
+    ),
+)
+def _forward(
+    x, off_y, off_x, mask, *,
+    conv_stride=1, clip_y=6.0, cap_tile=512, stride=4, cc=64,
+    compute_dtype=jnp.bfloat16, interpret=False,
+):
+    """x [B,H,W,C]; off_y/off_x/mask [B,OH,OW,9] -> [B, 9*C, OH*OW]
+    (rows ordered tap-major then channel — im2col order)."""
+    b, h, w, c = x.shape
+    _, oh, ow, _ = off_y.shape
+    n = oh * ow
+    # strided convs double the input-row span per tile — shrink the tile
+    # so the window block stays within the ~16 MB VMEM budget
+    ct = min(cap_tile, 256) if conv_stride > 1 else cap_tile
+    n_pad = _round_up(n, ct)
+    nt = n_pad // ct
+    wrows = _wrows_for(ct, ow, conv_stride, clip_y, stride)
+    nw = max(-(-h // stride), 1)
+    ncc = c // cc
+
+    # sampling coordinates (pixel space): y = oy*cs - 1 + ky + off_y
+    ys = jnp.arange(oh, dtype=jnp.float32) * conv_stride - 1.0
+    xs = jnp.arange(ow, dtype=jnp.float32) * conv_stride - 1.0
+    ky, kx = jnp.meshgrid(
+        jnp.arange(K, dtype=jnp.float32),
+        jnp.arange(K, dtype=jnp.float32),
+        indexing="ij",
+    )
+    oyc = jnp.clip(off_y.astype(jnp.float32), -clip_y, clip_y)
+    py = ys[None, :, None, None] + ky.reshape(-1)[None, None, None, :] + oyc
+    px = (
+        xs[None, None, :, None]
+        + kx.reshape(-1)[None, None, None, :]
+        + off_x.astype(jnp.float32)
+    )
+    py = jnp.broadcast_to(py, (b, oh, ow, K * K)).reshape(b, n, K * K)
+    px = jnp.broadcast_to(px, (b, oh, ow, K * K)).reshape(b, n, K * K)
+    m = mask.astype(jnp.float32).reshape(b, n, K * K)
+    if n_pad != n:
+        py = jnp.pad(py, ((0, 0), (0, n_pad - n), (0, 0)), mode="edge")
+        px = jnp.pad(px, ((0, 0), (0, n_pad - n), (0, 0)), mode="edge")
+        m = jnp.pad(m, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = px - x0
+    ty = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    vx0 = (x0i >= 0) & (x0i < w)
+    vx1 = (x0i >= -1) & (x0i < w - 1)
+    vy0 = (y0i >= 0) & (y0i < h)
+    vy1 = (y0i >= -1) & (y0i < h - 1)
+    x0c = jnp.clip(x0i, -1, w - 1).astype(jnp.float32)
+
+    payload = jnp.stack(
+        [
+            x0c,
+            m * (1.0 - tx) * vx0,
+            m * tx * vx1,
+            y0,
+            (1.0 - ty) * vy0,
+            ty * vy1,
+        ],
+        axis=2,
+    )  # [b, n_pad, 6, 9]
+    payload = payload.transpose(0, 3, 2, 1)  # [b, 9, 6, n_pad]
+    payload = jnp.pad(payload, ((0, 0), (0, 0), (0, 2), (0, 0)))  # ch -> 8
+
+    # per-tile window index: cover min/max bilinear rows over the tile's
+    # ct pixels x 9 taps (items stay in (pixel, tap) groups after reshape)
+    jrow = _tile_windows(
+        y0i.reshape(b, n_pad * K * K), nt, ct * K * K, stride, wrows, nw
+    )
+
+    wins = prepare_dcn_windows(
+        x, stride=stride, wrows=wrows, cc=cc, compute_dtype=compute_dtype
+    )
+    wwp = wins.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # taps innermost: consecutive tap steps reuse the resident window
+        grid=(b, nt, K * K),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, ct), lambda i, t, tap, jr: (i, tap, 0, t)),
+            pl.BlockSpec(
+                (1, 1, ncc, wrows * cc, wwp),
+                lambda i, t, tap, jr: (i, jr[i, t], 0, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, ct), lambda i, t, tap, jr: (i, tap, t)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, wrows, ncc, cc, stride, compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, K * K * c, n_pad), compute_dtype),
+        interpret=interpret,
+    )(jrow, payload, wins)
+    return out[:, :, :n]
+
+
+def _sample_ref(x, off_y, off_x, mask, *, conv_stride, clip_y):
+    """Reference jnp formulation of the SAME clipped sampling (backward
+    pass and correctness oracle). Returns [B, 9*C, OH*OW] like _forward."""
+    from bevformer_tpu.models.resnet import _bilinear_gather
+
+    b, h, w, c = x.shape
+    _, oh, ow, kk = off_y.shape
+    ys = jnp.arange(oh, dtype=jnp.float32) * conv_stride - 1.0
+    xs = jnp.arange(ow, dtype=jnp.float32) * conv_stride - 1.0
+    ky, kx = jnp.meshgrid(
+        jnp.arange(K, dtype=jnp.float32),
+        jnp.arange(K, dtype=jnp.float32),
+        indexing="ij",
+    )
+    oyc = jnp.clip(off_y.astype(jnp.float32), -clip_y, clip_y)
+    py = ys[None, :, None, None] + ky.reshape(-1)[None, None, None, :] + oyc
+    px = (
+        xs[None, None, :, None]
+        + kx.reshape(-1)[None, None, None, :]
+        + off_x.astype(jnp.float32)
+    )
+    py = jnp.broadcast_to(py, (b, oh, ow, kk))
+    px = jnp.broadcast_to(px, (b, oh, ow, kk))
+    sampled = _bilinear_gather(x.astype(jnp.float32), py, px)
+    sampled = sampled * mask.astype(jnp.float32)[..., None]
+    # [b, oh, ow, 9, c] -> [b, 9*c, oh*ow]
+    return sampled.reshape(b, oh * ow, kk * c).transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _pallas_vjp(x, off_y, off_x, mask, conv_stride, clip_y, cap_tile,
+                stride, cc, compute_dtype, interpret):
+    return _forward(
+        x, off_y, off_x, mask,
+        conv_stride=conv_stride, clip_y=clip_y, cap_tile=cap_tile,
+        stride=stride, cc=cc, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+
+
+def _fwd(x, off_y, off_x, mask, conv_stride, clip_y, cap_tile, stride, cc,
+         compute_dtype, interpret):
+    out = _forward(
+        x, off_y, off_x, mask,
+        conv_stride=conv_stride, clip_y=clip_y, cap_tile=cap_tile,
+        stride=stride, cc=cc, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    return out, (x, off_y, off_x, mask)
+
+
+def _bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
+         interpret, res, g):
+    x, off_y, off_x, mask = res
+    _, vjp = jax.vjp(
+        lambda xx, oy, ox, mm: _sample_ref(
+            xx, oy, ox, mm, conv_stride=conv_stride, clip_y=clip_y
+        ),
+        x, off_y, off_x, mask,
+    )
+    return vjp(g.astype(jnp.float32))
+
+
+_pallas_vjp.defvjp(_fwd, _bwd)
+
+
+def resolve_impl(mode: str) -> str:
+    """Resolve a config `fused_dcn` mode: 'auto' -> 'bf16' on a real TPU,
+    'off' elsewhere (CPU tests/goldens keep the exact gather path)."""
+    if mode == "auto":
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            return "off"
+        return "bf16" if platform == "tpu" else "off"
+    assert mode in ("off", "fp32", "bf16"), mode
+    return mode
+
+
+# tuning hooks (bench sweeps); shipped defaults are the measured optimum
+_CAP_TILE = int(os.environ.get("DCN_CAP_TILE", "512"))
+_STRIDE = int(os.environ.get("DCN_STRIDE", "8"))
+
+
+def dcn_sample_pallas(
+    x, off_y, off_x, mask, *,
+    conv_stride=1, clip_y=6.0, cap_tile=None, stride=None, cc=64,
+    compute_dtype=jnp.bfloat16,
+):
+    """Fused DCNv2 deformable im2col: [B, 9*C, OH*OW], rows (tap, channel).
+
+    Exact vs the gather path whenever |off_y| <= clip_y (off_x unrestricted).
+    Differentiable (backward = XLA gather path on the clipped formulation).
+    Off-TPU runs the kernel in interpreter mode (tests)."""
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        interpret = True
+    return _pallas_vjp(
+        x, off_y, off_x, mask, conv_stride, clip_y,
+        cap_tile or _CAP_TILE, stride or _STRIDE, cc,
+        compute_dtype, interpret,
+    )

@@ -19,6 +19,7 @@ from bevformer_tpu.configs import BEVFormerConfig
 from bevformer_tpu.models.fpn import FPN
 from bevformer_tpu.models.grid_mask import grid_mask
 from bevformer_tpu.models.head import BEVFormerHead
+from bevformer_tpu.kernels.dcn_pallas import resolve_impl as _dcn_resolve
 from bevformer_tpu.models.resnet import ResNet
 
 
@@ -33,6 +34,8 @@ class BEVFormer(nn.Module):
             depth=c.backbone_depth,
             out_indices=c.backbone_out_indices,
             dcn_stages=c.backbone_dcn_stages,
+            dcn_impl=_dcn_resolve(c.fused_dcn),
+            dcn_clip_y=c.dcn_clip_y,
             style=c.backbone_style,
             norm=c.backbone_norm,
             use_remat=c.use_remat,

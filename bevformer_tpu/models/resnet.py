@@ -88,18 +88,20 @@ class ModulatedDeformConv(nn.Module):
     with the conv weight — deformable im2col, the reference's mmcv CUDA
     `DCNv2` semantics.
 
-    Sampling strategy (TPU): shift_radius=0 (default) uses the bilinear
-    gather path. shift_radius>0 switches to a gather-free masked-shift
-    formulation (exact while |offset| < radius) — measured SLOWER here
-    (10.4 s vs 0.54 s for the R101-DCN backbone): traced-offset
-    dynamic_slices inside the loop don't fuse, so the input is re-read
-    once per (tap, shift). Kept for reference; the planned fix is a tiled
-    VMEM-resident kernel (see CLAUDE.md / BENCH_NOTES.md).
+    Sampling strategy (TPU): impl='fp32'|'bf16' routes the deformable
+    im2col through the fused Pallas window kernel
+    (`kernels/dcn_pallas.py`) — the XLA gather path costs 485 ms of the
+    543 ms base backbone (gather-engine bound). impl='off' keeps the exact
+    bilinear-gather path (CPU tests, goldens). shift_radius>0 selects a
+    gather-free masked-shift formulation kept for reference — measured
+    19x SLOWER in XLA (traced-offset dynamic_slices don't fuse).
     """
 
     features: int
     stride: int = 1
     shift_radius: int = 0
+    impl: str = "off"  # 'off' (XLA gather) | 'fp32' | 'bf16' (Pallas)
+    clip_y: float = 6.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,6 +129,23 @@ class ModulatedDeformConv(nn.Module):
             nn.initializers.he_normal(),
             (k * k * c, self.features),
         )
+
+        if self.impl in ("fp32", "bf16"):
+            from bevformer_tpu.kernels.dcn_pallas import dcn_sample_pallas
+
+            cdt = jnp.float32 if self.impl == "fp32" else jnp.bfloat16
+            sampled = dcn_sample_pallas(
+                x.astype(cdt),
+                off_y, off_x, mask,
+                conv_stride=self.stride, clip_y=self.clip_y,
+                compute_dtype=cdt,
+            )  # [b, 9c, oh*ow], rows (tap, channel) = im2col order
+            out = jnp.einsum(
+                "bin,io->bno",
+                sampled.astype(jnp.float32),
+                weight.astype(jnp.float32),
+            ).reshape(b, oh, ow, self.features)
+            return out.astype(self.dtype)
 
         if self.shift_radius > 0:
             sampled = self._sample_shift(x, off_y, off_x, mask, oh, ow)
@@ -250,6 +269,8 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     use_dcn: bool = False
+    dcn_impl: str = "off"
+    dcn_clip_y: float = 6.0
     style: str = "pytorch"  # 'pytorch': stride in 3x3; 'caffe': stride in 1x1
     norm: str = "frozen"
     dtype: jnp.dtype = jnp.float32
@@ -273,7 +294,8 @@ class Bottleneck(nn.Module):
 
         if self.use_dcn:
             out = ModulatedDeformConv(
-                self.planes, stride=s2, dtype=self.dtype, name="conv2"
+                self.planes, stride=s2, impl=self.dcn_impl,
+                clip_y=self.dcn_clip_y, dtype=self.dtype, name="conv2"
             )(out)
         else:
             out = nn.Conv(
@@ -317,6 +339,8 @@ class _BlockScanBody(nn.Module):
 
     planes: int
     use_dcn: bool
+    dcn_impl: str
+    dcn_clip_y: float
     style: str
     norm: str
     train: bool
@@ -329,6 +353,8 @@ class _BlockScanBody(nn.Module):
             stride=1,
             downsample=False,
             use_dcn=self.use_dcn,
+            dcn_impl=self.dcn_impl,
+            dcn_clip_y=self.dcn_clip_y,
             style=self.style,
             norm=self.norm,
             dtype=self.dtype,
@@ -349,6 +375,8 @@ class ResNet(nn.Module):
     depth: int = 50
     out_indices: Tuple[int, ...] = (3,)
     dcn_stages: Tuple[int, ...] = ()  # e.g. (2, 3) for R101-DCN
+    dcn_impl: str = "off"  # 'off' (XLA gather) | 'fp32' | 'bf16' (Pallas)
+    dcn_clip_y: float = 6.0
     style: str = "pytorch"
     norm: str = "frozen"  # 'frozen' (v1: norm_eval + no grad) | 'bn' (v2)
     # gradient-checkpoint each scanned block: without it the scan saves
@@ -386,6 +414,8 @@ class ResNet(nn.Module):
                 stride=stride,
                 downsample=True,
                 use_dcn=use_dcn,
+                dcn_impl=self.dcn_impl,
+                dcn_clip_y=self.dcn_clip_y,
                 style=self.style,
                 norm=self.norm,
                 dtype=self.dtype,
@@ -403,6 +433,8 @@ class ResNet(nn.Module):
                 )(
                     planes=planes,
                     use_dcn=use_dcn,
+                    dcn_impl=self.dcn_impl,
+                    dcn_clip_y=self.dcn_clip_y,
                     style=self.style,
                     norm=self.norm,
                     train=train,

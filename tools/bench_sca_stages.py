@@ -84,11 +84,11 @@ loc_s = loc_s.at[..., 1].set(
 w_s = jnp.array(rng.rand(b, q * nz, h, l, ppa), jnp.float32)
 
 timed(
-    lambda v: mp._forward(
-        v, SHAPES, loc_s, w_s, stride=4, halo=13, cap_tile=512,
+    lambda v, ls, ws: mp._forward(
+        v, SHAPES, ls, ws, stride=4, halo=13, cap_tile=512,
         compute_dtype=jnp.bfloat16,
     ),
-    (val,),
+    (val, loc_s, w_s),
     "3. kernel _forward (s4 h13 ct512 bf16)",
 )
 
