@@ -327,3 +327,32 @@ def test_sca_inner_fused_matches_off():
     b_ = m_on.apply(params, query, value, ref, shapes)
     np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sca_inner_fused_bf16_close():
+    """bf16 fused mode (bf16 offset/weight permute + bitcast-riding f32
+    anchors + bf16 MXU) stays close to the exact XLA path."""
+    import jax
+    from bevformer_tpu.models.attention import MSDeformableAttention3D
+
+    rng = np.random.RandomState(23)
+    b, q, e, nz = 1, 2000, 64, 4
+    shapes = ((40, 25), (20, 13), (10, 7), (5, 4))
+    k = sum(h * w for h, w in shapes)
+    query = jnp.array(rng.randn(b, q, e) * 0.1, jnp.float32)
+    value = jnp.array(rng.randn(b, k, e) * 0.1, jnp.float32)
+    ref = jnp.array(rng.rand(b, q, nz, 2), jnp.float32)
+
+    kw = dict(embed_dims=e, num_heads=4, num_levels=len(shapes),
+              num_points=8)
+    m_off = MSDeformableAttention3D(fused_msda="off", **kw)
+    params = m_off.init(jax.random.PRNGKey(1), query, value, ref, shapes)
+    a = np.asarray(m_off.apply(params, query, value, ref, shapes))
+    m_on = MSDeformableAttention3D(fused_msda="bf16", **kw)
+    b_ = np.asarray(
+        m_on.apply(params, query, value, ref, shapes), np.float32
+    )
+    # bf16 matmuls + bf16 offset rounding: expect ~1% of the output scale
+    scale = np.abs(a).max()
+    assert np.abs(b_ - a).max() < 0.03 * scale
+    assert np.abs(b_ - a).mean() < 0.003 * scale

@@ -83,13 +83,16 @@ loc_s = loc_s.at[..., 1].set(
 )
 w_s = jnp.array(rng.rand(b, q * nz, h, l, ppa), jnp.float32)
 
+import os
+CT = int(os.environ.get("CT", 512))
+HALO = int(os.environ.get("HALO", 13))
 timed(
     lambda v, ls, ws: mp._forward(
-        v, SHAPES, ls, ws, stride=4, halo=13, cap_tile=512,
+        v, SHAPES, ls, ws, stride=4, halo=HALO, cap_tile=CT,
         compute_dtype=jnp.bfloat16,
     ),
     (val, loc_s, w_s),
-    "3. kernel _forward (s4 h13 ct512 bf16)",
+    f"3. kernel _forward (s4 h{HALO} ct{CT} bf16)",
 )
 
 out_s = jnp.array(rng.randn(b, q * nz, e) * 0.1, jnp.float32)
