@@ -151,31 +151,35 @@ def _level_accum(pay, val, j, wrows, d, stride, compute_dtype, acc):
     return acc
 
 
-def _kernel(wrows: int, d: int, stride: int, n_levels: int, compute_dtype,
-            jrow_ref, *refs):
-    """One (batch*head, item-tile) step, ALL levels fused — the out block
-    is written once per tile instead of once per level per tile.
+def _kernel(wrows: int, d: int, stride: int, n_levels: int, tiles: int,
+            ct: int, compute_dtype, jrow_ref, pay_ref, *refs):
+    """One (batch*head, item-supertile) step: ALL levels fused and `tiles`
+    item-tiles per step — the out block is written once per supertile and
+    the fixed per-step cost (index maps, DMA bookkeeping) is amortised
+    over tiles*levels matmuls.
 
     jrow_ref: scalar-prefetch [L, bh, nt] window index per (level, tile).
-    refs: L payload refs [1, 8, CT] f32 — channels (x0, wx0, wx1, y0, wy0,
-          wy1, 0, 0), indices as exact f32 integers, y0 GLOBAL image row —
-          then L window-block refs [1, 1, wrows*D, WWp_l], then out_ref
-          [1, D, CT].
+    pay_ref:  [1, L, 8, tiles*CT] f32 — per level, channels (x0, wx0, wx1,
+              y0, wy0, wy1, 0, 0); indices as exact f32 integers, y0
+              GLOBAL image row.
+    refs: L*tiles window-block refs [1, 1, wrows*D, WWp_l] ordered
+          (level-major, sub-tile minor), then out_ref [1, D, tiles*CT].
     """
     i = pl.program_id(0)
     t = pl.program_id(1)
-    pay_refs = refs[:n_levels]
-    val_refs = refs[n_levels : 2 * n_levels]
-    out_ref = refs[2 * n_levels]
-    ct = pay_refs[0].shape[-1]
+    val_refs = refs[: n_levels * tiles]
+    out_ref = refs[n_levels * tiles]
 
-    acc = jnp.zeros((d, ct), jnp.float32)
-    for lvl in range(n_levels):
-        acc = _level_accum(
-            pay_refs[lvl][0], val_refs[lvl][0, 0], jrow_ref[lvl, i, t],
-            wrows, d, stride, compute_dtype, acc,
-        )
-    out_ref[0] = acc.astype(out_ref.dtype)
+    for s in range(tiles):
+        acc = jnp.zeros((d, ct), jnp.float32)
+        for lvl in range(n_levels):
+            acc = _level_accum(
+                pay_ref[0, lvl, :, s * ct : (s + 1) * ct],
+                val_refs[lvl * tiles + s][0, 0],
+                jrow_ref[lvl, i, t * tiles + s],
+                wrows, d, stride, compute_dtype, acc,
+            )
+        out_ref[0, :, s * ct : (s + 1) * ct] = acc.astype(out_ref.dtype)
 
 
 def _payload_level(loc_l, attw_l, hh, ww):
@@ -240,6 +244,7 @@ def _tile_windows(y0i, nt, ct, stride, wrows, nw):
         "stride",
         "halo",
         "cap_tile",
+        "tiles",
         "compute_dtype",
         "interpret",
     ),
@@ -254,6 +259,7 @@ def _forward(
     stride=8,
     halo=8,
     cap_tile=256,
+    tiles=2,
     compute_dtype=jnp.float32,
     interpret=False,
 ):
@@ -291,11 +297,21 @@ def _forward(
                       mode="edge")
         attw = jnp.pad(attw, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    # ONE pallas_call over all levels: each tile's out block accumulates
-    # every level in VMEM and is written once (4 separate level calls cost
-    # 3 extra [bh, d, n] HBM write+read rounds and 4x the per-step fixed
-    # overhead — measured 86 -> 55 ms at base SCA scale)
+    # ONE pallas_call over all levels and `tiles` item-tiles per grid
+    # step: each supertile's out block accumulates every level in VMEM
+    # and is written once, and the fixed per-step cost is amortised over
+    # tiles*levels matmuls (4 separate level calls at 1 tile/step:
+    # 86 ms at base SCA scale; fused levels: 75; +2 tiles/step: measured
+    # below). Window coverage per 512-item tile is unchanged.
     rm = wrows * d
+    n_sup = _round_up(n_pad, tiles * ct)
+    if n_sup != n_pad:
+        loc = jnp.pad(loc, ((0, 0), (0, n_sup - n_pad), (0, 0), (0, 0)),
+                      mode="edge")
+        attw = jnp.pad(attw, ((0, 0), (0, n_sup - n_pad), (0, 0)))
+        n_pad = n_sup
+        nt = n_pad // ct
+    nt2 = nt // tiles
     payloads = []
     jrows = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
@@ -307,33 +323,45 @@ def _forward(
         payloads.append(payload)
         jrows.append(_tile_windows(y0i, nt, ct, stride, wrows, nw))
     jrow = jnp.stack(jrows, axis=0)  # [L, bh, nt]
+    pay = jnp.stack(payloads, axis=1)  # [bh, L, 8, n_pad]
 
-    def _pay_spec():
-        return pl.BlockSpec((1, 8, ct), lambda i, t, jr: (i, 0, t))
-
-    def _val_spec(lvl, wwp):
+    def _val_spec(lvl, s, wwp):
         return pl.BlockSpec(
-            (1, 1, rm, wwp), lambda i, t, jr: (i, jr[lvl, i, t], 0, 0)
+            (1, 1, rm, wwp),
+            lambda i, t, jr: (i, jr[lvl, i, t * tiles + s], 0, 0),
         )
 
+    nl = len(spatial_shapes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh, nt),
-        in_specs=[_pay_spec() for _ in spatial_shapes]
+        grid=(bh, nt2),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nl, 8, tiles * ct), lambda i, t, jr: (i, 0, 0, t)
+            )
+        ]
         + [
-            _val_spec(lvl, _round_up(ww, LANE))
+            _val_spec(lvl, s, _round_up(ww, LANE))
             for lvl, (hh, ww) in enumerate(spatial_shapes)
+            for s in range(tiles)
         ],
-        out_specs=pl.BlockSpec((1, d, ct), lambda i, t, jr: (i, 0, t)),
+        out_specs=pl.BlockSpec(
+            (1, d, tiles * ct), lambda i, t, jr: (i, 0, t)
+        ),
     )
+    vals = [
+        window_values[lvl]
+        for lvl in range(nl)
+        for _ in range(tiles)
+    ]
     out = pl.pallas_call(
         functools.partial(
-            _kernel, wrows, d, stride, len(spatial_shapes), compute_dtype
+            _kernel, wrows, d, stride, nl, tiles, ct, compute_dtype
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bh, d, n_pad), compute_dtype),
         interpret=interpret,
-    )(jrow, *payloads, *window_values)
+    )(jrow, pay, *vals)
 
     out = out[:, :, :n]
     # reduce points per query (dense, no scatter), restore [B, Q, H*D]

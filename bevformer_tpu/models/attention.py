@@ -24,7 +24,7 @@ from scratch matches the reference recipe.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -63,6 +63,28 @@ def _offset_bias_init(num_heads, num_levels, num_points):
         return jnp.asarray(b, dtype)
 
     return init
+
+
+class _ColPermDense(nn.Module):
+    """Dense whose output columns are reordered by a static permutation
+    applied to the PARAMS at use time: the (tiny) kernel/bias are gathered
+    instead of the (huge) activations, so a layout change costs nothing at
+    runtime. Params keep the reference column order — checkpoint-converter
+    and torch-parity compatible."""
+
+    features: int
+    col_perm: Tuple[int, ...]
+    kernel_init: Any = nn.initializers.zeros
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        perm = jnp.asarray(np.asarray(self.col_perm), jnp.int32)
+        return x @ jnp.take(kernel, perm, axis=1) + jnp.take(bias, perm)
 
 
 class MSDeformableAttention3D(nn.Module):
@@ -116,6 +138,13 @@ class MSDeformableAttention3D(nn.Module):
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
         v = v.reshape(b, -1, h, dh)
 
+        mode = _fused_mode(self.fused_msda)
+        if mode != "off":
+            return self._fused_forward(
+                query, v, reference_points, spatial_shapes, mode,
+                sort_perm, sort_inv,
+            )
+
         offsets = nn.Dense(
             h * l * p * 2,
             dtype=jnp.float32,
@@ -148,95 +177,6 @@ class MSDeformableAttention3D(nn.Module):
         offsets = offsets.reshape(b, q, h, l, p // nz, nz, 2)
         ref = reference_points[:, :, None, None, None, :, :].astype(jnp.float32)
         locations = (ref + offsets).reshape(b, q, h, l, p, 2)
-
-        mode = _fused_mode(self.fused_msda)
-        if mode != "off":
-            # fused windowed kernel: items = (query, z-anchor) pairs
-            # sorted by projected anchor row so every kernel tile is
-            # row-coherent (the anchors of ONE query span too many image
-            # rows to sort at query granularity). The permutation depends
-            # only on the frame-constant reference points — callers on a
-            # hot loop hoist it via sort_perm/sort_inv.
-            from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
-
-            ppa = p // nz
-            if sort_perm is None:
-                key = reference_points[..., 1].astype(jnp.float32).reshape(
-                    b, q * nz
-                )
-                sort_perm = jnp.argsort(key, axis=1)
-                sort_inv = jnp.argsort(sort_perm, axis=1)
-            # anchor-minor point axis -> explicit anchor axis next to q;
-            # permute on FLAT contiguous rows (multi-dim trailing indices
-            # lower to element-granular gathers: measured 95 -> ~11 ms)
-            nch = h * l * ppa  # weight channels; offsets are 2x this
-            if mode == "bf16":
-                # permute raw OFFSETS (small values — bf16-safe) + weights
-                # in bf16 and ride the f32 reference points along the same
-                # gather as bitcast 16-bit halves: ~2x fewer gather bytes
-                # (53 -> ~27 ms/layer at base scale), sampling locations
-                # keep exact f32 anchors + ~2e-4 offset rounding
-                off_a = (
-                    offsets.transpose(0, 1, 5, 2, 3, 4, 6)
-                    .reshape(b, q * nz, nch * 2)
-                    .astype(jnp.bfloat16)
-                )
-                w_a = (
-                    weights.reshape(b, q, h, l, ppa, nz)
-                    .transpose(0, 1, 5, 2, 3, 4)
-                    .reshape(b, q * nz, nch)
-                    .astype(jnp.bfloat16)
-                )
-                ref_bits = jax.lax.bitcast_convert_type(
-                    reference_points.astype(jnp.float32).reshape(
-                        b, q * nz, 2
-                    ),
-                    jnp.bfloat16,
-                ).reshape(b, q * nz, 4)
-                lw = jnp.take_along_axis(
-                    jnp.concatenate([off_a, w_a, ref_bits], axis=-1),
-                    sort_perm[:, :, None],
-                    axis=1,
-                )
-                off_s = (
-                    lw[..., : nch * 2]
-                    .astype(jnp.float32)
-                    .reshape(b, q * nz, h, l, ppa, 2)
-                )
-                w_s = lw[..., nch * 2 : nch * 3].astype(jnp.float32)
-                w_s = w_s.reshape(b, q * nz, h, l, ppa)
-                ref_s = jax.lax.bitcast_convert_type(
-                    lw[..., nch * 3 :].reshape(b, q * nz, 2, 2),
-                    jnp.float32,
-                ).reshape(b, q * nz, 2)
-                loc_s = ref_s[:, :, None, None, None, :] + off_s
-            else:
-                loc_a = (
-                    locations.reshape(b, q, h, l, ppa, nz, 2)
-                    .transpose(0, 1, 5, 2, 3, 4, 6)
-                    .reshape(b, q * nz, nch * 2)
-                )
-                w_a = (
-                    weights.reshape(b, q, h, l, ppa, nz)
-                    .transpose(0, 1, 5, 2, 3, 4)
-                    .reshape(b, q * nz, nch)
-                )
-                # one fused row-gather for both tensors (row-count bound)
-                lw = jnp.take_along_axis(
-                    jnp.concatenate([loc_a, w_a], axis=-1),
-                    sort_perm[:, :, None],
-                    axis=1,
-                )
-                loc_s = lw[..., : nch * 2].reshape(b, q * nz, h, l, ppa, 2)
-                w_s = lw[..., nch * 2 :].reshape(b, q * nz, h, l, ppa)
-            out_s = ms_deform_attn_pallas(
-                v, spatial_shapes, loc_s, w_s,
-                stride=self.fused_stride, halo=self.fused_halo,
-                cap_tile=self.fused_cap_tile,
-                compute_dtype=_fused_dtype(mode),
-            )  # [b, q*nz, h*dh]
-            out = jnp.take_along_axis(out_s, sort_inv[:, :, None], axis=1)
-            return out.reshape(b, q, nz, h * dh).sum(axis=2).astype(out_s.dtype)
 
         if self.window > 0:
             from bevformer_tpu.kernels.msda import (
@@ -299,6 +239,117 @@ class MSDeformableAttention3D(nn.Module):
             return out
 
         return ms_deform_attn(v, spatial_shapes, locations, weights)
+
+    def _fused_forward(self, query, v, reference_points, spatial_shapes,
+                       mode, sort_perm, sort_inv):
+        """Fused windowed-kernel path: items = (query, z-anchor) pairs
+        sorted by projected anchor row so every kernel tile is
+        row-coherent (the anchors of ONE query span too many image rows
+        to sort at query granularity). The permutation depends only on
+        the frame-constant reference points — hot-loop callers hoist it
+        via sort_perm/sort_inv.
+
+        Layout strategy: the offset/weight projections are emitted
+        ANCHOR-MAJOR by permuting the Dense PARAM columns (tiny) instead
+        of transposing the activations — the XLA 7D activation transpose
+        this avoids measured ~40 ms/layer at base scale. bf16 mode
+        additionally permutes in bf16, riding the f32 anchors through the
+        same row gather as bitcast 16-bit halves (exact anchors, ~2e-4
+        offset rounding)."""
+        from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
+
+        b, q, _ = query.shape
+        h, l, p = self.num_heads, self.num_levels, self.num_points
+        dh = self.embed_dims // h
+        nz = reference_points.shape[2]
+        assert p % nz == 0, (p, nz)
+        ppa = p // nz
+        nch = h * l * ppa  # weight channels; offsets are 2x this
+
+        cp_off = tuple(
+            np.arange(h * l * p * 2)
+            .reshape(h, l, ppa, nz, 2)
+            .transpose(3, 0, 1, 2, 4)
+            .ravel()
+            .tolist()
+        )
+        cp_w = tuple(
+            np.arange(h * l * p)
+            .reshape(h, l, ppa, nz)
+            .transpose(3, 0, 1, 2)
+            .ravel()
+            .tolist()
+        )
+        qf = query.astype(jnp.float32)
+        off_am = _ColPermDense(
+            h * l * p * 2, cp_off,
+            bias_init=_offset_bias_init(h, l, p),
+            name="sampling_offsets",
+        )(qf).reshape(b, q, nz, h, l, ppa, 2)
+        logits = _ColPermDense(
+            h * l * p, cp_w, name="attention_weights",
+        )(qf).reshape(b, q, nz, h, l, ppa)
+        # reference softmax is over (levels, points) per head; with the
+        # anchor axis split out that is axes (nz, l, ppa) jointly
+        w_am = jax.nn.softmax(logits, axis=(2, 4, 5))
+        normalizer = jnp.array(
+            [[w, hh] for hh, w in spatial_shapes], jnp.float32
+        )
+        off_am = off_am / normalizer[None, None, None, None, :, None, :]
+
+        if sort_perm is None:
+            key = reference_points[..., 1].astype(jnp.float32).reshape(
+                b, q * nz
+            )
+            sort_perm = jnp.argsort(key, axis=1)
+            sort_inv = jnp.argsort(sort_perm, axis=1)
+
+        refq = reference_points.astype(jnp.float32).reshape(b, q * nz, 2)
+        if mode == "bf16":
+            ref_bits = jax.lax.bitcast_convert_type(
+                refq, jnp.bfloat16
+            ).reshape(b, q * nz, 4)
+            cat = jnp.concatenate(
+                [
+                    off_am.reshape(b, q * nz, nch * 2).astype(jnp.bfloat16),
+                    w_am.reshape(b, q * nz, nch).astype(jnp.bfloat16),
+                    ref_bits,
+                ],
+                axis=-1,
+            )
+            lw = jnp.take_along_axis(cat, sort_perm[:, :, None], axis=1)
+            off_s = (
+                lw[..., : nch * 2]
+                .astype(jnp.float32)
+                .reshape(b, q * nz, h, l, ppa, 2)
+            )
+            w_s = lw[..., nch * 2 : nch * 3].astype(jnp.float32)
+            w_s = w_s.reshape(b, q * nz, h, l, ppa)
+            ref_s = jax.lax.bitcast_convert_type(
+                lw[..., nch * 3 :].reshape(b, q * nz, 2, 2), jnp.float32
+            ).reshape(b, q * nz, 2)
+        else:
+            cat = jnp.concatenate(
+                [
+                    off_am.reshape(b, q * nz, nch * 2),
+                    w_am.reshape(b, q * nz, nch),
+                    refq,
+                ],
+                axis=-1,
+            )
+            lw = jnp.take_along_axis(cat, sort_perm[:, :, None], axis=1)
+            off_s = lw[..., : nch * 2].reshape(b, q * nz, h, l, ppa, 2)
+            w_s = lw[..., nch * 2 : nch * 3].reshape(b, q * nz, h, l, ppa)
+            ref_s = lw[..., nch * 3 :]
+        loc_s = ref_s[:, :, None, None, None, :] + off_s
+        out_s = ms_deform_attn_pallas(
+            v, spatial_shapes, loc_s, w_s,
+            stride=self.fused_stride, halo=self.fused_halo,
+            cap_tile=self.fused_cap_tile,
+            compute_dtype=_fused_dtype(mode),
+        )  # [b, q*nz, h*dh]
+        out = jnp.take_along_axis(out_s, sort_inv[:, :, None], axis=1)
+        return out.reshape(b, q, nz, h * dh).sum(axis=2).astype(out_s.dtype)
 
 
 def sca_capacity_precompute(
