@@ -286,14 +286,72 @@ def _fwd(x, off_y, off_x, mask, conv_stride, clip_y, cap_tile, stride, cc,
 
 def _bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
          interpret, res, g):
+    """Scatter-free backward: the DCN sampling IS single-level msda
+    (items = (pixel, tap) raster-ordered, heads = C/32, p=1), so the
+    windowed Pallas backward in msda_pallas serves it — XLA's gather-vjp
+    scatter costs ~1.7 us/row (seconds per DCN block at base scale)."""
+    from bevformer_tpu.kernels import msda_pallas as mp
+
     x, off_y, off_x, mask = res
-    _, vjp = jax.vjp(
-        lambda xx, oy, ox, mm: _sample_ref(
-            xx, oy, ox, mm, conv_stride=conv_stride, clip_y=clip_y
-        ),
-        x, off_y, off_x, mask,
+    b, hh, ww, c = x.shape
+    _, oh, ow, _ = off_y.shape
+    n = oh * ow
+    dsub = 32 if c % 32 == 0 else c
+    heads = c // dsub
+    n9 = n * K * K
+
+    # sampling coordinates exactly as the forward (incl. the y clip)
+    ys = jnp.arange(oh, dtype=jnp.float32) * conv_stride - 1.0
+    xs = jnp.arange(ow, dtype=jnp.float32) * conv_stride - 1.0
+    ky, kx = jnp.meshgrid(
+        jnp.arange(K, dtype=jnp.float32),
+        jnp.arange(K, dtype=jnp.float32),
+        indexing="ij",
     )
-    return vjp(g.astype(jnp.float32))
+    oyf = off_y.astype(jnp.float32)
+    oyc = jnp.clip(oyf, -clip_y, clip_y)
+    py = ys[None, :, None, None] + ky.reshape(-1)[None, None, None, :] + oyc
+    px = (
+        xs[None, None, :, None]
+        + kx.reshape(-1)[None, None, None, :]
+        + off_x.astype(jnp.float32)
+    )
+    loc = jnp.stack(
+        [(px + 0.5) / ww, (py + 0.5) / hh], axis=-1
+    ).reshape(b, n9, 1, 1, 1, 2)
+    loc_b = jnp.broadcast_to(loc, (b, n9, heads, 1, 1, 2))
+    attw = jnp.broadcast_to(
+        mask.astype(jnp.float32).reshape(b, n9, 1, 1, 1),
+        (b, n9, heads, 1, 1),
+    )
+    value = x.astype(jnp.float32).reshape(b, hh * ww, heads, dsub)
+
+    # cotangent: g [b, 9C, n] rows (tap, channel) -> msda item order
+    # (pixel-major, tap-minor) x channels
+    g_items = (
+        g.astype(jnp.float32)
+        .reshape(b, K * K, c, n)
+        .transpose(0, 3, 1, 2)
+        .reshape(b, n9, c)
+    )
+
+    bstride = 4
+    wrows = _wrows_for(-(-cap_tile // (K * K)), ow, conv_stride, clip_y,
+                       bstride)
+    dval, dloc, dattw = mp._backward(
+        value, ((hh, ww),), loc_b, attw, g_items,
+        stride=bstride, halo=wrows - bstride - 1, cap_tile=cap_tile,
+        compute_dtype=compute_dtype, interpret=interpret,
+    )
+    dx = dval.reshape(b, hh, ww, c).astype(x.dtype)
+    dmask = dattw.sum(axis=2).reshape(b, oh, ow, K * K).astype(mask.dtype)
+    dl = dloc.sum(axis=2).reshape(b, oh, ow, K * K, 2)
+    doff_x = (dl[..., 0] / ww).astype(off_x.dtype)
+    # clip passes gradient only inside the clamp range
+    doff_y = (
+        (dl[..., 1] / hh) * ((oyf > -clip_y) & (oyf < clip_y))
+    ).astype(off_y.dtype)
+    return dx, doff_y, doff_x, dmask
 
 
 _pallas_vjp.defvjp(_fwd, _bwd)

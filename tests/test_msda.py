@@ -251,6 +251,8 @@ def test_windowed_pallas_incoherent_drops_are_bounded_and_audited():
     """A y-incoherent order must only LOSE attention mass (never corrupt):
     the audit reports the loss and the output stays finite with per-query
     error bounded by the dropped weight."""
+    import jax
+
     from bevformer_tpu.kernels import msda_pallas as mp
 
     rng = np.random.RandomState(13)
@@ -356,3 +358,45 @@ def test_sca_inner_fused_bf16_close():
     scale = np.abs(a).max()
     assert np.abs(b_ - a).max() < 0.03 * scale
     assert np.abs(b_ - a).mean() < 0.003 * scale
+
+
+@pytest.mark.parametrize(
+    "shapes,heads,points",
+    [
+        (((30, 25),), 8, 8),
+        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8),
+    ],
+)
+def test_windowed_pallas_backward_matches_oracle(shapes, heads, points):
+    """The scatter-free Pallas backward (dValue window accumulation +
+    modified-payload dAttw/dLoc passes) vs autodiff of the XLA oracle."""
+    import jax
+
+    from bevformer_tpu.kernels import msda_pallas as mp
+
+    rng = np.random.RandomState(13)
+    b, q, d = 1, 256, 32
+    k = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    value = jnp.array(rng.randn(b, k, heads, d), jnp.float32)
+    loc = jnp.array(_coherent_locations(rng, b, q, heads, shapes, points))
+    w = jnp.array(rng.rand(b, q, heads, l, points), jnp.float32)
+    cot = jnp.array(rng.randn(b, q, heads * d), jnp.float32)
+
+    def loss_oracle(v, lo, ww_):
+        return (ms_deform_attn_jnp(v, shapes, lo, ww_) * cot).sum()
+
+    def loss_pallas(v, lo, ww_):
+        out = mp.ms_deform_attn_pallas(
+            v, shapes, lo, ww_, stride=4, halo=8, cap_tile=128,
+        )
+        return (out * cot).sum()
+
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(value, loc, w)
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(value, loc, w)
+    for name, a, b_ in zip(("value", "loc", "attw"), go, gp):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(b_ - a).max() < 2e-4 * scale, (
+            name, np.abs(b_ - a).max(), scale
+        )

@@ -146,5 +146,75 @@ class _P:
         return ()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("FINER"):
     main()
+
+
+def finer():
+    """Second-stage bisect: isolate backbone vs encoder-layer count vs
+    grid-mask in the single-frame encoder-only gradient."""
+    from bevformer_tpu.configs import get_config
+    from bevformer_tpu.models import BEVFormer
+    from bevformer_tpu.runtime import train
+
+    import time as _t
+
+    cfg = get_config(CONFIG).replace(use_remat=True)
+    bs, t = 1, cfg.data.queue_length
+    cams = cfg.data.num_cams
+    h, w = cfg.data.img_size
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(bs, cams, h, w, 3).astype(np.float32) * 0.1)
+    can = jnp.asarray(rng.randn(bs, 18).astype(np.float32) * 0.1)
+    f = 1000.0
+    intr = np.array([[f, 0, w / 2, 0], [0, f, h / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    extr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]])
+    l2i = jnp.asarray(np.tile((intr @ extr)[None, None], (bs, cams, 1, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def timeit(fn, label, *args):
+        jf = jax.jit(fn)
+        t0 = _t.perf_counter()
+        r = jf(*args)
+        jax.tree.map(lambda x: x.block_until_ready(), r)
+        tc = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        for _ in range(2):
+            r = jf(*args)
+        leaf = jax.tree.leaves(r)[0]
+        float(jnp.asarray(leaf).ravel()[0])
+        dt = (_t.perf_counter() - t0) / 2
+        print(f"{label}: {dt*1e3:.0f} ms (compile {tc:.0f}s)", flush=True)
+
+    def make(cfgv):
+        model = BEVFormer(cfg=cfgv)
+        prev = jnp.zeros((bs, cfgv.bev_h * cfgv.bev_w, cfgv.embed_dims), jnp.float32)
+        has = jnp.zeros((bs,), bool)
+
+        def lossf(p):
+            bev = model.apply(
+                p, imgs, can, l2i, prev, has, only_bev=True, training=True,
+                rngs={"dropout": key, "grid_mask": key},
+            )
+            return bev.astype(jnp.float32).mean()
+
+        params = jax.jit(model.init)(key, imgs, can, l2i, prev, has)
+        return model, params, lossf
+
+    model, params, lossf = make(cfg)
+
+    def bb_loss(p):
+        feats = model.apply(p, imgs, method="extract_feat")
+        return sum(f_.astype(jnp.float32).mean() for f_ in feats)
+
+    timeit(jax.grad(bb_loss), "grad backbone+neck only", params)
+
+    _, p1, l1 = make(cfg.replace(encoder_layers=1))
+    timeit(jax.grad(l1), "grad bev, 1 encoder layer", p1)
+
+    _, p0, l0 = make(cfg.replace(use_grid_mask=False))
+    timeit(jax.grad(l0), "grad bev, grid_mask off", p0)
+
+
+if __name__ == "__main__" and os.environ.get("FINER"):
+    finer()
