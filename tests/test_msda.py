@@ -400,3 +400,56 @@ def test_windowed_pallas_backward_matches_oracle(shapes, heads, points):
         assert np.abs(b_ - a).max() < 2e-4 * scale, (
             name, np.abs(b_ - a).max(), scale
         )
+
+
+def test_sca_routing_fns_match_scatter_formulation():
+    """route_gather/route_scatter (gathers both directions) vs the naive
+    indexing/scatter-add formulations, values AND gradients."""
+    import jax
+
+    from bevformer_tpu.models.attention import (
+        route_gather, route_scatter, routing_inverse,
+    )
+
+    rng = np.random.RandomState(5)
+    bs, cams, q, cap, e = 2, 3, 40, 16, 8
+    x = jnp.array(rng.randn(bs, q, e), jnp.float32)
+    attn = jnp.array(rng.randn(bs, cams, cap, e), jnp.float32)
+    # unique indices per (b, c)
+    top_idx = jnp.array(
+        np.stack([
+            np.stack([rng.permutation(q)[:cap] for _ in range(cams)])
+            for _ in range(bs)
+        ]), jnp.int32)
+    inv, found = routing_inverse(top_idx, q)
+    cot_g = jnp.array(rng.randn(bs, cams, cap, e), jnp.float32)
+    cot_s = jnp.array(rng.randn(bs, q, e), jnp.float32)
+
+    def sel_ref(xx):
+        return jax.vmap(
+            jax.vmap(lambda a, i: a[i], in_axes=(None, 0)), in_axes=(0, 0)
+        )(xx, top_idx)
+
+    def scat_ref(aa):
+        def one(idx, val):
+            return jnp.zeros((q, e)).at[idx.reshape(-1)].add(
+                val.reshape(-1, e))
+        return jax.vmap(one)(top_idx, aa)
+
+    np.testing.assert_allclose(
+        np.asarray(route_gather(x, top_idx, inv, found)),
+        np.asarray(sel_ref(x)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(route_scatter(attn, top_idx, inv, found)),
+        np.asarray(scat_ref(attn)), atol=1e-6)
+
+    g_new = jax.grad(lambda xx: (route_gather(xx, top_idx, inv, found)
+                                 * cot_g).sum())(x)
+    g_ref = jax.grad(lambda xx: (sel_ref(xx) * cot_g).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-5)
+    s_new = jax.grad(lambda aa: (route_scatter(aa, top_idx, inv, found)
+                                 * cot_s).sum())(attn)
+    s_ref = jax.grad(lambda aa: (scat_ref(aa) * cot_s).sum())(attn)
+    np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref),
+                               atol=1e-5)
