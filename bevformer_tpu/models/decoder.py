@@ -25,6 +25,7 @@ class DetrDecoderLayer(nn.Module):
     feedforward_channels: int = 512
     ffn_dropout: float = 0.1
     attn_dropout: float = 0.1
+    fused_msda: str = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,6 +54,7 @@ class DetrDecoderLayer(nn.Module):
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
             num_levels=1,
+            fused_msda=self.fused_msda,
             dtype=self.dtype,
             name="cross_attn",
         )(
@@ -93,6 +95,7 @@ class DetectionTransformerDecoder(nn.Module):
     # the reference folds groups into the batch — a block mask is the same
     # computation with static shapes). At eval only one group is present.
     group_detr: int = 1
+    fused_msda: str = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -124,6 +127,7 @@ class DetectionTransformerDecoder(nn.Module):
                 num_heads=self.num_heads,
                 feedforward_channels=self.feedforward_channels,
                 ffn_dropout=self.ffn_dropout,
+                fused_msda=self.fused_msda,
                 dtype=self.dtype,
                 name=f"layer{lid}",
             )(

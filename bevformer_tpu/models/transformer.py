@@ -74,6 +74,7 @@ class PerceptionTransformer(nn.Module):
             name="encoder",
         )
         self.decoder = DetectionTransformerDecoder(
+            fused_msda=self.fused_msda,
             num_layers=self.decoder_layers,
             embed_dims=e,
             num_heads=self.num_heads,

@@ -453,3 +453,29 @@ def test_sca_routing_fns_match_scatter_formulation():
     s_ref = jax.grad(lambda aa: (scat_ref(aa) * cot_s).sum())(attn)
     np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref),
                                atol=1e-5)
+
+
+def test_decoder_cross_attn_fused_matches_off():
+    """CustomMSDeformableAttention fused path (sorted queries) vs XLA."""
+    import jax
+
+    from bevformer_tpu.models.attention import CustomMSDeformableAttention
+
+    rng = np.random.RandomState(31)
+    bs, q, e = 2, 120, 64
+    shapes = ((40, 25),)
+    k = shapes[0][0] * shapes[0][1]
+    query = jnp.array(rng.randn(bs, q, e) * 0.1, jnp.float32)
+    value = jnp.array(rng.randn(bs, k, e) * 0.1, jnp.float32)
+    qpos = jnp.array(rng.randn(bs, q, e) * 0.1, jnp.float32)
+    ref = jnp.array(rng.rand(bs, q, 1, 2), jnp.float32)
+
+    kw = dict(embed_dims=e, num_heads=4, num_points=4)
+    m_off = CustomMSDeformableAttention(fused_msda="off", **kw)
+    params = m_off.init(jax.random.PRNGKey(0), query, value, qpos, ref,
+                        shapes)
+    a = m_off.apply(params, query, value, qpos, ref, shapes)
+    m_on = CustomMSDeformableAttention(fused_msda="fp32", **kw)
+    b = m_on.apply(params, query, value, qpos, ref, shapes)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)
