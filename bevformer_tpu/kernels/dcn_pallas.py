@@ -316,15 +316,16 @@ def _bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
         + kx.reshape(-1)[None, None, None, :]
         + off_x.astype(jnp.float32)
     )
-    loc = jnp.stack(
+    # FLAT layouts at the _backward boundary (6D broadcasts with unit/2
+    # minor dims get tile-padded layouts there)
+    loc2 = jnp.stack(
         [(px + 0.5) / ww, (py + 0.5) / hh], axis=-1
-    ).reshape(b, n9, 1, 1, 1, 2)
-    loc_b = jnp.broadcast_to(loc, (b, n9, heads, 1, 1, 2))
-    attw = jnp.broadcast_to(
-        mask.astype(jnp.float32).reshape(b, n9, 1, 1, 1),
-        (b, n9, heads, 1, 1),
+    ).reshape(b, n9, 2)
+    loc_b = jnp.tile(loc2, (1, 1, heads))  # cols (head, (x, y))
+    attw = jnp.tile(
+        mask.astype(jnp.float32).reshape(b, n9, 1), (1, 1, heads)
     )
-    value = x.astype(jnp.float32).reshape(b, hh * ww, heads, dsub)
+    value = x.astype(jnp.float32).reshape(b, hh * ww, c)
 
     # cotangent: g [b, 9C, n] rows (tap, channel) -> msda item order
     # (pixel-major, tap-minor) x channels
@@ -340,12 +341,18 @@ def _bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
                        bstride)
     dval, dloc, dattw = mp._backward(
         value, ((hh, ww),), loc_b, attw, g_items,
+        heads=heads, points=1,
         stride=bstride, halo=wrows - bstride - 1, cap_tile=cap_tile,
         compute_dtype=compute_dtype, interpret=interpret,
     )
     dx = dval.reshape(b, hh, ww, c).astype(x.dtype)
-    dmask = dattw.sum(axis=2).reshape(b, oh, ow, K * K).astype(mask.dtype)
-    dl = dloc.sum(axis=2).reshape(b, oh, ow, K * K, 2)
+    dmask = (
+        dattw.reshape(b, n9, heads).sum(axis=-1)
+        .reshape(b, oh, ow, K * K).astype(mask.dtype)
+    )
+    dl = dloc.reshape(b, n9, heads, 2).sum(axis=2).reshape(
+        b, oh, ow, K * K, 2
+    )
     doff_x = (dl[..., 0] / ww).astype(off_x.dtype)
     # clip passes gradient only inside the clamp range
     doff_y = (

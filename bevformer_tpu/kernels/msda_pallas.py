@@ -427,6 +427,8 @@ def _tile_windows(y0i, nt, ct, stride, wrows, nw):
     jax.jit,
     static_argnames=(
         "spatial_shapes",
+        "heads",
+        "points",
         "stride",
         "halo",
         "cap_tile",
@@ -442,6 +444,8 @@ def _forward(
     attention_weights,
     window_values=None,
     *,
+    heads=None,
+    points=None,
     stride=8,
     halo=8,
     cap_tile=256,
@@ -451,9 +455,26 @@ def _forward(
 ):
     """Items ([b, q, h, l, p] flattened to (q, p) per batch*head) must be
     row-coherent within each `cap_tile` chunk for lossless sampling; see
-    module docstring."""
-    b, k, h, d = value.shape
-    _, q, _, l, p, _ = sampling_locations.shape
+    module docstring.
+
+    Accepts either the 6D [b, q, h, l, p, 2] loc layout or the FLAT
+    [b, q, h*l*p*2] layout (+ heads/points statics, value [b, k, h*d]).
+    Production callers pass flats: 6D arrays crossing a jit/custom_vjp
+    boundary get tile-padded layouts (a [..,4,2]-minor f32 cotangent copy
+    measured 32x expansion — the base train OOM)."""
+    if sampling_locations.ndim == 6:
+        heads = sampling_locations.shape[2]
+        points = sampling_locations.shape[4]
+        b0, q0 = sampling_locations.shape[:2]
+        sampling_locations = sampling_locations.reshape(b0, q0, -1)
+        attention_weights = attention_weights.reshape(b0, q0, -1)
+    if value.ndim == 4:
+        value = value.reshape(value.shape[0], value.shape[1], -1)
+    b, k, hd = value.shape
+    h, p = heads, points
+    d = hd // h
+    q = sampling_locations.shape[1]
+    l = len(spatial_shapes)
     bh, n = b * h, q * p
     ct = cap_tile
     n_pad = _round_up(n, ct)
@@ -462,18 +483,21 @@ def _forward(
 
     if window_values is None:
         window_values = prepare_window_values(
-            value, spatial_shapes, stride=stride, halo=halo,
-            compute_dtype=compute_dtype,
+            value.reshape(b, k, h, d), spatial_shapes, stride=stride,
+            halo=halo, compute_dtype=compute_dtype,
         )
 
-    # [b, q, h, l, p, *] -> [bh, n, l, *]
+    # [b, q, h*l*p*2] -> [bh, n, l, *] (the 6D view lives only inside this
+    # fusion region, never at a program boundary)
     loc = (
         sampling_locations.astype(jnp.float32)
+        .reshape(b, q, h, l, p, 2)
         .transpose(0, 2, 1, 4, 3, 5)
         .reshape(bh, n, l, 2)
     )
     attw = (
         attention_weights.astype(jnp.float32)
+        .reshape(b, q, h, l, p)
         .transpose(0, 2, 1, 4, 3)
         .reshape(bh, n, l)
     )
@@ -550,9 +574,15 @@ def _forward(
     )(jrow, pay, *vals)
 
     out = out[:, :, :n]
-    # reduce points per query (dense, no scatter), restore [B, Q, H*D]
-    out = out.reshape(b, h, d, q, p).sum(-1, dtype=jnp.float32)
-    return out.transpose(0, 3, 1, 2).reshape(b, q, h * d).astype(value.dtype)
+    # reduce points per query via LANE-STRIDED adds on the flat minor dim
+    # (a reshape to [..., q, p] would drag a p-minor axis through the
+    # backward copies at 32x tile padding), then restore [B, Q, H*D] with
+    # a single clean-minor transpose
+    s_pts = out[:, :, 0::p].astype(jnp.float32)
+    for i in range(1, p):
+        s_pts = s_pts + out[:, :, i::p].astype(jnp.float32)
+    s_pts = s_pts.reshape(b, h * d, q).swapaxes(1, 2)  # [b, q, h*d]
+    return s_pts.astype(value.dtype)
 
 
 def window_drop_mass(
@@ -631,23 +661,31 @@ def supported(value, spatial_shapes, sampling_locations) -> bool:
     return platform == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7, 8))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7, 8, 9, 10)
+)
 def _pallas_vjp(
     value,
     spatial_shapes,
     sampling_locations,
     attention_weights,
+    heads,
+    points,
     stride,
     halo,
     cap_tile,
     compute_dtype,
     interpret,
 ):
+    # FLAT layouts only: value [b, k, h*d], loc [b, q, h*l*p*2], attw
+    # [b, q, h*l*p] — see _forward's docstring for why
     return _forward(
         value,
         spatial_shapes,
         sampling_locations,
         attention_weights,
+        heads=heads,
+        points=points,
         stride=stride,
         halo=halo,
         cap_tile=cap_tile,
@@ -656,10 +694,11 @@ def _pallas_vjp(
     )
 
 
-def _fwd(value, spatial_shapes, loc, attw, stride, halo, cap_tile,
-         compute_dtype, interpret):
+def _fwd(value, spatial_shapes, loc, attw, heads, points, stride, halo,
+         cap_tile, compute_dtype, interpret):
     out = _forward(
         value, spatial_shapes, loc, attw,
+        heads=heads, points=points,
         stride=stride, halo=halo, cap_tile=cap_tile,
         compute_dtype=compute_dtype, interpret=interpret,
     )
@@ -669,13 +708,14 @@ def _fwd(value, spatial_shapes, loc, attw, stride, halo, cap_tile,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spatial_shapes", "stride", "halo", "cap_tile", "compute_dtype",
-        "interpret",
+        "spatial_shapes", "heads", "points", "stride", "halo", "cap_tile",
+        "compute_dtype", "interpret",
     ),
 )
 def _backward(
     value, spatial_shapes, sampling_locations, attention_weights, g, *,
-    stride, halo, cap_tile, compute_dtype, interpret,
+    heads=None, points=None, stride, halo, cap_tile, compute_dtype,
+    interpret,
 ):
     """Scatter-free Pallas backward (XLA's scatter costs ~1.7 us/row on
     TPU — seconds per layer at base scale; measured tiny encoder-only
@@ -688,8 +728,19 @@ def _backward(
               row weight derivative variants) dotted with the cotangent
               in-kernel.
     """
-    b, k, h, d = value.shape
-    _, q, _, l, p, _ = sampling_locations.shape
+    if sampling_locations.ndim == 6:
+        heads = sampling_locations.shape[2]
+        points = sampling_locations.shape[4]
+        b0, q0 = sampling_locations.shape[:2]
+        sampling_locations = sampling_locations.reshape(b0, q0, -1)
+        attention_weights = attention_weights.reshape(b0, q0, -1)
+    if value.ndim == 4:
+        value = value.reshape(value.shape[0], value.shape[1], -1)
+    b, k, hd = value.shape
+    h, p = heads, points
+    d = hd // h
+    q = sampling_locations.shape[1]
+    l = len(spatial_shapes)
     bh, n = b * h, q * p
     ct = cap_tile
     n_pad = _round_up(n, ct)
@@ -697,17 +748,19 @@ def _backward(
     wrows = stride + halo + 1
 
     window_values = prepare_window_values(
-        value, spatial_shapes, stride=stride, halo=halo,
-        compute_dtype=compute_dtype,
+        value.reshape(b, k, h, d), spatial_shapes, stride=stride,
+        halo=halo, compute_dtype=compute_dtype,
     )
 
     loc = (
         sampling_locations.astype(jnp.float32)
+        .reshape(b, q, h, l, p, 2)
         .transpose(0, 2, 1, 4, 3, 5)
         .reshape(bh, n, l, 2)
     )
     attw = (
         attention_weights.astype(jnp.float32)
+        .reshape(b, q, h, l, p)
         .transpose(0, 2, 1, 4, 3)
         .reshape(bh, n, l)
     )
@@ -835,11 +888,12 @@ def _backward(
     return dvalue, dloc, dattw
 
 
-def _bwd(spatial_shapes, stride, halo, cap_tile, compute_dtype,
-         interpret, res, g):
+def _bwd(spatial_shapes, heads, points, stride, halo, cap_tile,
+         compute_dtype, interpret, res, g):
     value, loc, attw = res
     return _backward(
         value, spatial_shapes, loc, attw, g,
+        heads=heads, points=points,
         stride=stride, halo=halo, cap_tile=cap_tile,
         compute_dtype=compute_dtype, interpret=interpret,
     )
@@ -854,6 +908,8 @@ def ms_deform_attn_pallas(
     sampling_locations,
     attention_weights,
     *,
+    heads=None,
+    points=None,
     stride=8,
     halo=8,
     cap_tile=512,
@@ -864,18 +920,32 @@ def ms_deform_attn_pallas(
     Exact (vs `ms_deform_attn_jnp`) whenever each 256-item tile's sampled
     rows fit its stride+halo+1-row window — guaranteed for row-coherent
     item orders with offsets within the halo; audit with
-    `window_drop_mass`. Differentiable (backward = XLA patch gather).
+    `window_drop_mass`. Differentiable (scatter-free Pallas backward).
 
-    Off-TPU (unit tests) the kernel runs in interpreter mode."""
+    Accepts the 6D loc/attw layouts or the flat [b, q, h*l*p*(2)] ones
+    (with heads/points implied by value's 4D shape when 6D). Arrays are
+    flattened HERE, before the custom_vjp/jit boundary — boundary arrays
+    with tiny minor dims get tile-padded layouts (32x memory, the base
+    train OOM). Off-TPU (unit tests) the kernel runs interpreted."""
     try:
         interpret = jax.devices()[0].platform != "tpu"
     except Exception:  # pragma: no cover
         interpret = True
+    if sampling_locations.ndim == 6:
+        b0, q0, heads, _, points, _ = sampling_locations.shape
+        sampling_locations = sampling_locations.reshape(b0, q0, -1)
+        attention_weights = attention_weights.reshape(b0, q0, -1)
+    elif heads is None or points is None:
+        raise ValueError("flat loc layout requires heads= and points=")
+    if value.ndim == 4:
+        value = value.reshape(value.shape[0], value.shape[1], -1)
     return _pallas_vjp(
         value,
         spatial_shapes,
         sampling_locations,
         attention_weights,
+        heads,
+        points,
         stride,
         halo,
         cap_tile,

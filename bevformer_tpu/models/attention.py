@@ -412,16 +412,12 @@ class MSDeformableAttention3D(nn.Module):
                 axis=-1,
             )
             lw = permute_rows(cat, sort_perm, sort_inv)
-            off_s = (
-                lw[..., : nch * 2]
-                .astype(jnp.float32)
-                .reshape(b, q * nz, h, l, ppa, 2)
-            )
             w_s = lw[..., nch * 2 : nch * 3].astype(jnp.float32)
             w_s = w_s.reshape(b, q * nz, h, l, ppa)
             ref_s = jax.lax.bitcast_convert_type(
                 lw[..., nch * 3 :].reshape(b, q * nz, 2, 2), jnp.float32
             ).reshape(b, q * nz, 2)
+            off_s_flat = lw[..., : nch * 2].astype(jnp.float32)
         else:
             cat = jnp.concatenate(
                 [
@@ -432,12 +428,17 @@ class MSDeformableAttention3D(nn.Module):
                 axis=-1,
             )
             lw = permute_rows(cat, sort_perm, sort_inv)
-            off_s = lw[..., : nch * 2].reshape(b, q * nz, h, l, ppa, 2)
+            off_s_flat = lw[..., : nch * 2]
             w_s = lw[..., nch * 2 : nch * 3].reshape(b, q * nz, h, l, ppa)
             ref_s = lw[..., nch * 3 :]
-        loc_s = ref_s[:, :, None, None, None, :] + off_s
+        # FLAT sampling locations all the way to the kernel boundary: a 6D
+        # [.., l, ppa, 2]-minor array crossing the custom_vjp/jit boundary
+        # gets a tile-padded layout (32x memory — the base train OOM)
+        loc_s_flat = off_s_flat + jnp.tile(ref_s, (1, 1, nch))
         out_s = ms_deform_attn_pallas(
-            v, spatial_shapes, loc_s, w_s,
+            v, spatial_shapes, loc_s_flat,
+            w_s.reshape(b, q * nz, nch),
+            heads=h, points=ppa,
             stride=self.fused_stride, halo=self.fused_halo,
             cap_tile=self.fused_cap_tile,
             compute_dtype=_fused_dtype(mode),

@@ -24,19 +24,21 @@ REPS = int(os.environ.get("REPS", "2"))
 
 
 def timed(grad_fn, params, imgs, label, *rest):
-    """grad_fn(params, imgs, *rest) -> grad pytree."""
-    def chained(p, im):
+    """grad_fn(params, imgs, *rest) -> grad pytree. `rest` are passed as
+    jit ARGUMENTS — closed-over arrays get baked into the HLO as
+    constants and blow the compile relay's size limit (HTTP 413)."""
+    def chained(p, im, *r):
         def body(c, _):
-            g = grad_fn(p, im + c.astype(im.dtype) * 1e-24, *rest)
+            g = grad_fn(p, im + c.astype(im.dtype) * 1e-24, *r)
             return optax.global_norm(g).astype(jnp.float32) * 1e-20 + c, None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
         return c
     jf = jax.jit(chained)
     t0 = time.perf_counter()
-    float(jf(params, imgs))
+    float(jf(params, imgs, *rest))
     tc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(jf(params, imgs))
+    float(jf(params, imgs, *rest))
     dt = (time.perf_counter() - t0) / REPS
     print(f"{label}: {dt*1e3:.0f} ms (compile {tc:.0f}s)", flush=True)
 
@@ -112,13 +114,13 @@ def main():
                   batch.images[:, -1], "grad bev-only (1 layer)")
 
     if "full" in which:
-        def full_grad(p, im):
-            b2 = batch._replace(
-                images=batch.images.at[:, -1].set(
+        def full_grad(p, im, bt):
+            b2 = bt._replace(
+                images=bt.images.at[:, -1].set(
                     im.reshape(bs, cams, h, w, 3)))
             return jax.grad(lambda pp: train.loss_fn(model, pp, b2, key)[0])(p)
         timed(full_grad, params, batch.images[:, -1],
-              "grad full loss_fn (queue + hungarian)")
+              "grad full loss_fn (queue + hungarian)", batch)
 
 
 if __name__ == "__main__":
