@@ -865,8 +865,13 @@ def _backward(
         dw = jnp.where(visited[:, :, None, None], dwin[lvl], 0.0)
         dval_parts.append(_fold_windows(dw, hh, ww, d, stride, wrows))
     dval = jnp.concatenate(dval_parts, axis=1)  # [bh, k, d]
+    # FLAT [b, k, h*d] to match the flat primal (cotangents must mirror
+    # the boundary layouts)
     dvalue = (
-        dval.reshape(b, h, k, d).swapaxes(1, 2).astype(value.dtype)
+        dval.reshape(b, h, k, d)
+        .swapaxes(1, 2)
+        .reshape(b, k, h * d)
+        .astype(value.dtype)
     )
 
     # assemble dLoc / dAttw back to caller layouts
@@ -875,14 +880,18 @@ def _backward(
     dlocy_s = aux[:, :, 1, :n].transpose(0, 2, 1) * scale[None, None, :, 1]
     dlocx_s = aux[:, :, 2, :n].transpose(0, 2, 1) * scale[None, None, :, 0]
     dloc_s = jnp.stack([dlocx_s, dlocy_s], axis=-1)  # [bh, n, l, 2]
+    # FLAT [b, q, h*l*p*2] / [b, q, h*l*p] to match the flat primals; the
+    # 6D views live only inside this jit's fusion
     dloc = (
         dloc_s.reshape(b, h, q, p, l, 2)
         .transpose(0, 2, 1, 4, 3, 5)
+        .reshape(b, q, h * l * p * 2)
         .astype(sampling_locations.dtype)
     )
     dattw = (
         dattw_s.reshape(b, h, q, p, l)
         .transpose(0, 2, 1, 4, 3)
+        .reshape(b, q, h * l * p)
         .astype(attention_weights.dtype)
     )
     return dvalue, dloc, dattw
