@@ -37,9 +37,14 @@ at base scale. This design has NO scatters:
   * Output returns in item order: the caller reduces points per query with
     a dense reshape-sum. No scatter anywhere.
 
-The backward pass reuses the XLA patch-gather path via `jax.custom_vjp`
-(compile-once training; backward is scatter-add dominated, which XLA
-handles adequately at training batch sizes).
+The backward pass is scatter-free Pallas too (`_backward`): dValue via
+transposed window matmuls with VMEM revisit-accumulation per window block
+plus an overlap fold, dAttw/dLoc via modified-payload kernel passes with
+the cotangent dot reduced in-kernel. XLA's gather-vjp scatter costs ~1.7
+us/row on TPU — seconds per encoder layer at base scale. All kernel
+boundary arrays use FLAT layouts ([b, q, h*l*p*(2)]): 6D arrays with tiny
+minor dims pick up tile-padded layouts in backward copies (measured 32x,
+the base train OOM).
 
 Validated against `msda.ms_deform_attn_jnp` (incl. out-of-bounds sampling
 locations) in tests/test_msda.py::test_windowed_pallas_* via interpret
@@ -271,20 +276,38 @@ def _rowcomb(tm, w0, w1, y0, base, wrows, d):
     return acc
 
 
-def _bwd_aux_kernel(wrows, d, stride, n_levels, compute_dtype,
+def _expand_g(g_ref, p, ct):
+    """[d, ct/p] per-query cotangents -> [d, ct] per-item (q-major,
+    p-minor interleave) via a tiny iota-built 0/1 matmul — the MXU does
+    the interleave Mosaic has no lane-shuffle for."""
+    gq = g_ref[0]  # [d, ct/p] f32
+    if p == 1:
+        return gq
+    ctq = ct // p
+    src = jax.lax.broadcasted_iota(jnp.int32, (ctq, ct), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (ctq, ct), 1)
+    e = jnp.where(src == dst // p, 1.0, 0.0)
+    return jnp.dot(
+        gq, e, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _bwd_aux_kernel(wrows, d, stride, n_levels, p, compute_dtype,
                     jrow_ref, pay_ref, g_ref, *refs):
     """Per (bh, tile): dAttw and dLoc ingredients, g-dot reduced IN-kernel.
 
-    pay_ref: [1, L, 16, CT] backward payload. g_ref: [1, d, CT] f32 item
-    cotangents. refs: L window-block refs then out_ref [1, L, 8, CT] with
-    channels (dattw, dlocy_raw, dlocx_raw) — *_raw lack the hh/ww scale,
-    applied by the caller; the attw factor of dLoc is folded in here."""
+    pay_ref: [1, L, 16, CT] backward payload. g_ref: [1, d, CT/p]
+    per-query cotangents (expanded to items in-kernel). refs: L
+    window-block refs then out_ref [1, L, 8, CT] with channels (dattw,
+    dlocy_raw, dlocx_raw) — *_raw lack the hh/ww scale, applied by the
+    caller; the attw factor of dLoc is folded in here."""
     i = pl.program_id(0)
     t = pl.program_id(1)
     val_refs = refs[:n_levels]
     out_ref = refs[n_levels]
     ct = pay_ref.shape[-1]
-    g = g_ref[0]  # [d, ct] f32
+    g = _expand_g(g_ref, p, ct)  # [d, ct] f32
     precision = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -333,7 +356,7 @@ def _bwd_aux_kernel(wrows, d, stride, n_levels, compute_dtype,
         out_ref[0, lvl, 2:3, :] = dlocx.astype(out_ref.dtype)
 
 
-def _bwd_dval_kernel(wrows, d, stride, n_levels, compute_dtype,
+def _bwd_dval_kernel(wrows, d, stride, n_levels, p, compute_dtype,
                      jrow_ref, pay_ref, g_ref, *out_refs):
     """Per (bh, tile): accumulate dValue window-gradient blocks.
 
@@ -344,7 +367,7 @@ def _bwd_dval_kernel(wrows, d, stride, n_levels, compute_dtype,
     i = pl.program_id(0)
     t = pl.program_id(1)
     ct = pay_ref.shape[-1]
-    g = g_ref[0]  # [d, ct] f32
+    g = _expand_g(g_ref, p, ct)  # [d, ct] f32
     for lvl in range(n_levels):
         pay = pay_ref[0, lvl]
         x0 = pay[0:1]
@@ -743,7 +766,9 @@ def _backward(
     l = len(spatial_shapes)
     bh, n = b * h, q * p
     ct = cap_tile
+    assert ct % p == 0, (ct, p)
     n_pad = _round_up(n, ct)
+    q_pad = n_pad // p  # each ct-item tile covers ct/p contiguous queries
     nt = n_pad // ct
     wrows = stride + halo + 1
 
@@ -769,18 +794,18 @@ def _backward(
                       mode="edge")
         attw = jnp.pad(attw, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    # item cotangents: forward output [b, q, h*d] summed the p points of
-    # each query — the per-item cotangent is the broadcast over p. Padded
-    # items get ZERO cotangent (their forward outputs were sliced off).
-    g_it = (
+    # PER-QUERY cotangents [bh, d, q_pad] — the kernels expand them to
+    # items with a tiny iota-built 0/1 matmul per tile (a host-side
+    # q-major interleave needs a [bh, d, q, p] broadcast that picks up a
+    # 2.7x padded layout: 1.95 GB at base scale). Padded queries get ZERO.
+    g_r = (
         g.astype(jnp.float32)
         .reshape(b, q, h, d)
         .transpose(0, 2, 3, 1)
-        .reshape(bh, d, q, 1)
+        .reshape(bh, d, q)
     )
-    g_it = jnp.broadcast_to(g_it, (bh, d, q, p)).reshape(bh, d, n)
-    if n_pad != n:
-        g_it = jnp.pad(g_it, ((0, 0), (0, 0), (0, n_pad - n)))
+    if q_pad != q:
+        g_r = jnp.pad(g_r, ((0, 0), (0, 0), (0, q_pad - q)))
 
     payloads = []
     jrows = []
@@ -792,7 +817,9 @@ def _backward(
         payloads.append(payload)
         jrows.append(_tile_windows(y0i, nt, ct, stride, wrows, nw))
     jrow = jnp.stack(jrows, axis=0)  # [L, bh, nt]
-    pay = jnp.stack(payloads, axis=1)  # [bh, L, 16, n_pad]
+    # payload in compute dtype: indices/rows are small integers (exact in
+    # bf16); weight rounding matches the bf16 kernel mode anyway
+    pay = jnp.stack(payloads, axis=1).astype(compute_dtype)
 
     nl = len(spatial_shapes)
     rm = wrows * d
@@ -803,12 +830,13 @@ def _backward(
         )
 
     # ---- pass 1: dAttw / dLoc ingredients ----
+    ctq = ct // p
     aux_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, nt),
         in_specs=[
             pl.BlockSpec((1, nl, 16, ct), lambda i, t, jr: (i, 0, 0, t)),
-            pl.BlockSpec((1, d, ct), lambda i, t, jr: (i, 0, t)),
+            pl.BlockSpec((1, d, ctq), lambda i, t, jr: (i, 0, t)),
         ]
         + [
             _val_spec(lvl, _round_up(ww, LANE))
@@ -818,12 +846,12 @@ def _backward(
     )
     aux = pl.pallas_call(
         functools.partial(
-            _bwd_aux_kernel, wrows, d, stride, nl, compute_dtype
+            _bwd_aux_kernel, wrows, d, stride, nl, p, compute_dtype
         ),
         grid_spec=aux_spec,
         out_shape=jax.ShapeDtypeStruct((bh, nl, 8, n_pad), jnp.float32),
         interpret=interpret,
-    )(jrow, pay, g_it, *window_values)
+    )(jrow, pay, g_r, *window_values)
 
     # ---- pass 2: dValue window gradients ----
     dval_spec = pltpu.PrefetchScalarGridSpec(
@@ -831,7 +859,7 @@ def _backward(
         grid=(bh, nt),
         in_specs=[
             pl.BlockSpec((1, nl, 16, ct), lambda i, t, jr: (i, 0, 0, t)),
-            pl.BlockSpec((1, d, ct), lambda i, t, jr: (i, 0, t)),
+            pl.BlockSpec((1, d, ctq), lambda i, t, jr: (i, 0, t)),
         ],
         out_specs=[
             _val_spec(lvl, _round_up(ww, LANE))
@@ -840,7 +868,7 @@ def _backward(
     )
     dwin = pl.pallas_call(
         functools.partial(
-            _bwd_dval_kernel, wrows, d, stride, nl, compute_dtype
+            _bwd_dval_kernel, wrows, d, stride, nl, p, compute_dtype
         ),
         grid_spec=dval_spec,
         out_shape=[
@@ -851,7 +879,7 @@ def _backward(
             for (hh, ww) in spatial_shapes
         ],
         interpret=interpret,
-    )(jrow, pay, g_it)
+    )(jrow, pay, g_r)
 
     # assemble dValue: mask never-visited windows, fold overlaps, stack
     dval_parts = []

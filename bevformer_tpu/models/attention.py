@@ -87,6 +87,24 @@ def _permute_rows_bwd(res, g):
 permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+def softmax_groups_flat(logits_flat, shape, axes):
+    """Softmax over `axes` of logits viewed as `shape`, with every LARGE
+    array kept in the flat [b, q, ncols] layout. A plain jax.nn.softmax on
+    the grouped view saves its multi-dim output for the backward — at SCA
+    scale a [..,4,2]-minor f32 copy picks up a 32x tile-padded layout
+    (2.9 GB, part of the base train OOM). Here the only saved tensors are
+    flat: the max is stop_gradient (stability only), exp/div operate on
+    flat operands, and the group reduces keep no residuals."""
+    b, q, n = logits_flat.shape
+    x6 = logits_flat.reshape(shape)
+    m = jax.lax.stop_gradient(x6).max(axis=axes, keepdims=True)
+    mb = jnp.broadcast_to(m, shape).reshape(b, q, n)
+    ex = jnp.exp(logits_flat - mb)
+    s = ex.reshape(shape).sum(axis=axes, keepdims=True)
+    sb = jnp.broadcast_to(s, shape).reshape(b, q, n)
+    return ex / sb
+
+
 def routing_inverse(top_idx, q):
     """Inverse of the per-camera top-k selection, scatter-free.
 
@@ -382,10 +400,13 @@ class MSDeformableAttention3D(nn.Module):
         )(qf).reshape(b, q, nz, h, l, ppa, 2)
         logits = _ColPermDense(
             h * l * p, cp_w, name="attention_weights",
-        )(qf).reshape(b, q, nz, h, l, ppa)
+        )(qf)
         # reference softmax is over (levels, points) per head; with the
-        # anchor axis split out that is axes (nz, l, ppa) jointly
-        w_am = jax.nn.softmax(logits, axis=(2, 4, 5))
+        # anchor axis split out that is axes (nz, l, ppa) jointly —
+        # computed flat so no 6D residual is saved (train memory)
+        w_am = softmax_groups_flat(
+            logits, (b, q, nz, h, l, ppa), (2, 4, 5)
+        )
         normalizer = jnp.array(
             [[w, hh] for hh, w in spatial_shapes], jnp.float32
         )
@@ -682,8 +703,8 @@ class TemporalSelfAttention(nn.Module):
         weights = _ColPermDense(
             nq * h * l * p, cp_w, name="attention_weights",
         )(query_cat.astype(jnp.float32))
-        weights = jax.nn.softmax(
-            weights.reshape(bs, q, nq, h, l * p), axis=-1
+        weights = softmax_groups_flat(
+            weights, (bs, q, nq, h, l * p), (4,)
         )
         weights = (
             weights.reshape(bs, q, nq, h, l, p)
