@@ -765,7 +765,11 @@ def _backward(
     q = sampling_locations.shape[1]
     l = len(spatial_shapes)
     bh, n = b * h, q * p
-    ct = cap_tile
+    # the per-query cotangent block is ct/p lanes wide and Mosaic needs
+    # >=128 lanes — backward tiles are therefore at least 128*p items
+    # (callers' halos must cover the corresponding query span; the
+    # decoder's generous halo accounts for this)
+    ct = max(cap_tile, 128 * p)
     assert ct % p == 0, (ct, p)
     n_pad = _round_up(n, ct)
     q_pad = n_pad // p  # each ct-item tile covers ct/p contiguous queries
