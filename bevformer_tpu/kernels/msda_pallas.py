@@ -276,16 +276,18 @@ def _rowcomb(tm, w0, w1, y0, base, wrows, d):
     return acc
 
 
-def _expand_g(g_ref, p, ct):
-    """[d, ct/p] per-query cotangents -> [d, ct] per-item (q-major,
+def _expand_g(g_ref, p, ct, ctq):
+    """[d, >=ct/p] per-query cotangents -> [d, ct] per-item (q-major,
     p-minor interleave) via a tiny iota-built 0/1 matmul — the MXU does
-    the interleave Mosaic has no lane-shuffle for."""
-    gq = g_ref[0]  # [d, ct/p] f32
+    the interleave Mosaic has no lane-shuffle for. The block may carry
+    128-lane padding when ct/p < 128 (Mosaic minimum)."""
+    gq = g_ref[0]  # [d, gw] f32
     if p == 1:
         return gq
-    ctq = ct // p
-    src = jax.lax.broadcasted_iota(jnp.int32, (ctq, ct), 0)
-    dst = jax.lax.broadcasted_iota(jnp.int32, (ctq, ct), 1)
+    gw = gq.shape[-1]
+    src = jax.lax.broadcasted_iota(jnp.int32, (gw, ct), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (gw, ct), 1)
+    # rows >= ctq are per-tile lane padding: never selected
     e = jnp.where(src == dst // p, 1.0, 0.0)
     return jnp.dot(
         gq, e, preferred_element_type=jnp.float32,
@@ -293,7 +295,7 @@ def _expand_g(g_ref, p, ct):
     )
 
 
-def _bwd_aux_kernel(wrows, d, stride, n_levels, p, compute_dtype,
+def _bwd_aux_kernel(wrows, d, stride, n_levels, p, ctq, compute_dtype,
                     jrow_ref, pay_ref, g_ref, *refs):
     """Per (bh, tile): dAttw and dLoc ingredients, g-dot reduced IN-kernel.
 
@@ -307,7 +309,7 @@ def _bwd_aux_kernel(wrows, d, stride, n_levels, p, compute_dtype,
     val_refs = refs[:n_levels]
     out_ref = refs[n_levels]
     ct = pay_ref.shape[-1]
-    g = _expand_g(g_ref, p, ct)  # [d, ct] f32
+    g = _expand_g(g_ref, p, ct, ctq)  # [d, ct] f32
     precision = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -356,7 +358,7 @@ def _bwd_aux_kernel(wrows, d, stride, n_levels, p, compute_dtype,
         out_ref[0, lvl, 2:3, :] = dlocx.astype(out_ref.dtype)
 
 
-def _bwd_dval_kernel(wrows, d, stride, n_levels, p, compute_dtype,
+def _bwd_dval_kernel(wrows, d, stride, n_levels, p, ctq, compute_dtype,
                      jrow_ref, pay_ref, g_ref, *out_refs):
     """Per (bh, tile): accumulate dValue window-gradient blocks.
 
@@ -367,7 +369,7 @@ def _bwd_dval_kernel(wrows, d, stride, n_levels, p, compute_dtype,
     i = pl.program_id(0)
     t = pl.program_id(1)
     ct = pay_ref.shape[-1]
-    g = _expand_g(g_ref, p, ct)  # [d, ct] f32
+    g = _expand_g(g_ref, p, ct, ctq)  # [d, ct] f32
     for lvl in range(n_levels):
         pay = pay_ref[0, lvl]
         x0 = pay[0:1]
@@ -765,11 +767,7 @@ def _backward(
     q = sampling_locations.shape[1]
     l = len(spatial_shapes)
     bh, n = b * h, q * p
-    # the per-query cotangent block is ct/p lanes wide and Mosaic needs
-    # >=128 lanes — backward tiles are therefore at least 128*p items
-    # (callers' halos must cover the corresponding query span; the
-    # decoder's generous halo accounts for this)
-    ct = max(cap_tile, 128 * p)
+    ct = cap_tile
     assert ct % p == 0, (ct, p)
     n_pad = _round_up(n, ct)
     q_pad = n_pad // p  # each ct-item tile covers ct/p contiguous queries
@@ -810,6 +808,16 @@ def _backward(
     )
     if q_pad != q:
         g_r = jnp.pad(g_r, ((0, 0), (0, 0), (0, q_pad - q)))
+    # Mosaic needs >=128-lane blocks: when a tile's query chunk ct/p is
+    # narrower, pad each chunk to a 128-lane slot
+    ctq = ct // p
+    gw = max(ctq, LANE)
+    nt_blocks = q_pad // ctq
+    if ctq < LANE:
+        g_r = jnp.pad(
+            g_r.reshape(bh, d, nt_blocks, ctq),
+            ((0, 0), (0, 0), (0, 0), (0, LANE - ctq)),
+        ).reshape(bh, d, nt_blocks * LANE)
 
     payloads = []
     jrows = []
@@ -834,13 +842,12 @@ def _backward(
         )
 
     # ---- pass 1: dAttw / dLoc ingredients ----
-    ctq = ct // p
     aux_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, nt),
         in_specs=[
             pl.BlockSpec((1, nl, 16, ct), lambda i, t, jr: (i, 0, 0, t)),
-            pl.BlockSpec((1, d, ctq), lambda i, t, jr: (i, 0, t)),
+            pl.BlockSpec((1, d, gw), lambda i, t, jr: (i, 0, t)),
         ]
         + [
             _val_spec(lvl, _round_up(ww, LANE))
@@ -850,7 +857,7 @@ def _backward(
     )
     aux = pl.pallas_call(
         functools.partial(
-            _bwd_aux_kernel, wrows, d, stride, nl, p, compute_dtype
+            _bwd_aux_kernel, wrows, d, stride, nl, p, ctq, compute_dtype
         ),
         grid_spec=aux_spec,
         out_shape=jax.ShapeDtypeStruct((bh, nl, 8, n_pad), jnp.float32),
@@ -863,7 +870,7 @@ def _backward(
         grid=(bh, nt),
         in_specs=[
             pl.BlockSpec((1, nl, 16, ct), lambda i, t, jr: (i, 0, 0, t)),
-            pl.BlockSpec((1, d, ctq), lambda i, t, jr: (i, 0, t)),
+            pl.BlockSpec((1, d, gw), lambda i, t, jr: (i, 0, t)),
         ],
         out_specs=[
             _val_spec(lvl, _round_up(ww, LANE))
@@ -872,7 +879,7 @@ def _backward(
     )
     dwin = pl.pallas_call(
         functools.partial(
-            _bwd_dval_kernel, wrows, d, stride, nl, p, compute_dtype
+            _bwd_dval_kernel, wrows, d, stride, nl, p, ctq, compute_dtype
         ),
         grid_spec=dval_spec,
         out_shape=[
