@@ -316,7 +316,7 @@ def _bwd_aux_kernel(wrows, d, stride, n_levels, p, ctq, compute_dtype,
         else jax.lax.Precision.DEFAULT
     )
     for lvl in range(n_levels):
-        pay = pay_ref[0, lvl]
+        pay = pay_ref[0, lvl].astype(jnp.float32)
         x0 = pay[0:1]
         wx0n = pay[1:2]
         wx1n = pay[2:3]
@@ -371,7 +371,7 @@ def _bwd_dval_kernel(wrows, d, stride, n_levels, p, ctq, compute_dtype,
     ct = pay_ref.shape[-1]
     g = _expand_g(g_ref, p, ct, ctq)  # [d, ct] f32
     for lvl in range(n_levels):
-        pay = pay_ref[0, lvl]
+        pay = pay_ref[0, lvl].astype(jnp.float32)
         x0 = pay[0:1]
         wx0n = pay[1:2]
         wx1n = pay[2:3]
