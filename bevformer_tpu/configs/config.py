@@ -249,6 +249,9 @@ register_config(
         backbone_dcn_stages=(),
         backbone_style="caffe",
         backbone_norm="bn",
+        # reference V2 trains the whole backbone (frozen_stages=-1,
+        # norm_eval=False — `bevformerv2-r50-t1-24ep.py:177-179`)
+        optim=OptimConfig(frozen_stages=-1),
         neck_in_channels=(512, 1024, 2048),
         num_feature_levels=4,
         num_mono_levels=5,

@@ -920,15 +920,19 @@ def _backward(
     dlocx_s = aux[:, :, 2, :n].transpose(0, 2, 1) * scale[None, None, :, 0]
     dloc_s = jnp.stack([dlocx_s, dlocy_s], axis=-1)  # [bh, n, l, 2]
     # FLAT [b, q, h*l*p*2] / [b, q, h*l*p] to match the flat primals; the
-    # 6D views live only inside this jit's fusion
+    # 6D views live only inside this jit's fusion. The h<->q transpose
+    # materializes with tile-padded minors — stage it in the compute dtype
+    # (halves the padded buffer in bf16 mode).
     dloc = (
-        dloc_s.reshape(b, h, q, p, l, 2)
+        dloc_s.astype(compute_dtype)
+        .reshape(b, h, q, p, l, 2)
         .transpose(0, 2, 1, 4, 3, 5)
         .reshape(b, q, h * l * p * 2)
         .astype(sampling_locations.dtype)
     )
     dattw = (
-        dattw_s.reshape(b, h, q, p, l)
+        dattw_s.astype(compute_dtype)
+        .reshape(b, h, q, p, l)
         .transpose(0, 2, 1, 4, 3)
         .reshape(b, q, h * l * p)
         .astype(attention_weights.dtype)

@@ -39,6 +39,7 @@ class BEVFormer(nn.Module):
             style=c.backbone_style,
             norm=c.backbone_norm,
             use_remat=c.use_remat,
+            frozen_stages=c.optim.frozen_stages,
             dtype=dtype,
             name="img_backbone",
         )

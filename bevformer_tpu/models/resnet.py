@@ -384,6 +384,11 @@ class ResNet(nn.Module):
     # [n_blocks, cams, h, w, 9, C] (measured 36 GB for R101 stage 3 at
     # base resolution, an instant train-time OOM on a 16 GB chip)
     use_remat: bool = False
+    # mmdet semantics: 0 freezes the stem, n>=1 also freezes stages 1..n;
+    # implemented as stop_gradient at the frozen boundary — matching torch,
+    # where no backward runs below it (saves the stem/stage activations:
+    # 600 MB at base res) — plus the optimizer masks in runtime/optim.py
+    frozen_stages: int = -1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -403,6 +408,8 @@ class ResNet(nn.Module):
         out = nn.max_pool(
             out, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )
+        if self.frozen_stages >= 0:
+            out = jax.lax.stop_gradient(out)
 
         outputs = []
         planes = 64
@@ -442,6 +449,8 @@ class ResNet(nn.Module):
                     name=f"layer{stage + 1}_rest",
                 )
                 out, _ = scanned(out, None)
+            if stage < self.frozen_stages:
+                out = jax.lax.stop_gradient(out)
             if stage in self.out_indices:
                 outputs.append(out)
             planes *= 2

@@ -17,25 +17,41 @@ import optax
 
 from bevformer_tpu.configs import OptimConfig
 
-FROZEN_PREFIXES = ("stem_", "layer1_")  # frozen_stages=1
+def _frozen_prefixes(frozen_stages: int):
+    # frozen_stages semantics as in mmdet ResNet: 1 freezes stem+layer1,
+    # 2 adds layer2, ...; <=0 freezes nothing
+    if frozen_stages <= 0:
+        return ()
+    return ("stem_",) + tuple(
+        f"layer{i}_" for i in range(1, frozen_stages + 1)
+    )
 
 
 def _path_str(path) -> str:
     return "/".join(getattr(p, "key", str(p)) for p in path)
 
 
-def label_params(params) -> Any:
-    """'frozen' (stem+stage1+all FrozenBN), 'backbone' (lr x0.1), 'main'."""
+def label_params(params, frozen_stages: int = 1,
+                 bn_trainable: bool = False) -> Any:
+    """'frozen' (frozen stages + FrozenBN), 'backbone' (lr x0.1), 'main'.
+
+    bn_trainable=True for the V2 backbone (SyncBN, `norm_eval=False`,
+    `bevformerv2-r50-t1-24ep.py:177-179` uses frozen_stages=-1): BN
+    scale/bias train like any other backbone param there."""
+    prefixes = _frozen_prefixes(frozen_stages)
 
     def label(path, _):
         s = _path_str(path)
         if "img_backbone" in s:
             parts = s.split("/")
             sub = parts[parts.index("img_backbone") + 1] if "img_backbone" in parts else ""
-            if sub.startswith(FROZEN_PREFIXES):
+            if prefixes and sub.startswith(prefixes):
                 return "frozen"
-            # FrozenBN params are constants everywhere in the backbone
-            if "/bn" in s or "downsample_bn" in s or s.endswith("/mean") or s.endswith("/var"):
+            # FrozenBN params are constants everywhere in the v1 backbone
+            if not bn_trainable and (
+                "/bn" in s or "downsample_bn" in s
+                or s.endswith("/mean") or s.endswith("/var")
+            ):
                 return "frozen"
             return "backbone"
         return "main"
@@ -55,7 +71,8 @@ def cosine_schedule(cfg: OptimConfig, total_steps: int):
     return optax.join_schedules([warmup, cosine], [cfg.warmup_iters])
 
 
-def make_optimizer(cfg: OptimConfig, params, total_steps: int):
+def make_optimizer(cfg: OptimConfig, params, total_steps: int,
+                   bn_trainable: bool = False):
     sched = cosine_schedule(cfg, total_steps)
 
     def adamw(lr_mult):
@@ -76,7 +93,7 @@ def make_optimizer(cfg: OptimConfig, params, total_steps: int):
                 "backbone": adamw(cfg.backbone_lr_mult),
                 "frozen": optax.set_to_zero(),
             },
-            label_params(params),
+            label_params(params, cfg.frozen_stages, bn_trainable),
         ),
     )
     return tx, sched

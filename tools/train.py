@@ -154,7 +154,8 @@ def main():
                 params={**state.params, "params": converted["params"]}
             )
             print(f"warm-started from {args.load_from}")
-        tx, sched = optim.make_optimizer(cfg.optim, state.params, total_steps)
+        tx, sched = optim.make_optimizer(cfg.optim, state.params, total_steps,
+                     bn_trainable=(cfg.backbone_norm == "bn"))
         state = train.TrainState(state.step, state.params, tx.init(state.params))
         if args.resume_from:
             state = ckpt_lib.restore_checkpoint(args.resume_from, state)
@@ -286,7 +287,8 @@ def _train_v2(args, cfg, work_dir):
     with mesh_lib.activate(mesh):
         batch0 = collect(0)
         state = init_state_v2(model, _Placeholder(), rng, batch0)
-        tx, sched = optim.make_optimizer(cfg.optim, state.params, total_steps)
+        tx, sched = optim.make_optimizer(cfg.optim, state.params, total_steps,
+                     bn_trainable=(cfg.backbone_norm == "bn"))
         state = TrainStateV2(
             state.step, state.params, state.batch_stats, tx.init(state.params)
         )
