@@ -157,23 +157,29 @@ def _level_accum(pay, val, j, wrows, d, stride, compute_dtype, acc):
 
 
 def _kernel(wrows: int, d: int, stride: int, n_levels: int, tiles: int,
-            ct: int, compute_dtype, jrow_ref, pay_ref, *refs):
+            ct: int, p: int, slotw: int, compute_dtype,
+            jrow_ref, pay_ref, *refs):
     """One (batch*head, item-supertile) step: ALL levels fused and `tiles`
     item-tiles per step — the out block is written once per supertile and
     the fixed per-step cost (index maps, DMA bookkeeping) is amortised
-    over tiles*levels matmuls.
+    over tiles*levels matmuls. The per-query POINT-SUM happens in-kernel
+    via a tiny iota-built 0/1 matmul (a host-side lane-strided reduce
+    measured +44 ms at base SCA scale), so the out block is per-QUERY:
+    [1, D, tiles*slotw] with each tile's ct/p query sums in a slotw-lane
+    slot (slotw = max(ct/p, 128) — Mosaic's lane minimum).
 
     jrow_ref: scalar-prefetch [L, bh, nt] window index per (level, tile).
-    pay_ref:  [1, L, 8, tiles*CT] f32 — per level, channels (x0, wx0, wx1,
-              y0, wy0, wy1, 0, 0); indices as exact f32 integers, y0
-              GLOBAL image row.
+    pay_ref:  [1, L, 8, tiles*CT] — per level, channels (x0, wx0, wx1,
+              y0, wy0, wy1, 0, 0); indices as exact integers, y0 GLOBAL
+              image row.
     refs: L*tiles window-block refs [1, 1, wrows*D, WWp_l] ordered
-          (level-major, sub-tile minor), then out_ref [1, D, tiles*CT].
+          (level-major, sub-tile minor), then the out_ref.
     """
     i = pl.program_id(0)
     t = pl.program_id(1)
     val_refs = refs[: n_levels * tiles]
     out_ref = refs[n_levels * tiles]
+    ctq = ct // p
 
     for s in range(tiles):
         acc = jnp.zeros((d, ct), jnp.float32)
@@ -184,7 +190,21 @@ def _kernel(wrows: int, d: int, stride: int, n_levels: int, tiles: int,
                 jrow_ref[lvl, i, t * tiles + s],
                 wrows, d, stride, compute_dtype, acc,
             )
-        out_ref[0, :, s * ct : (s + 1) * ct] = acc.astype(out_ref.dtype)
+        if p == 1 and slotw == ct:
+            out_ref[0, :, s * slotw : (s + 1) * slotw] = acc.astype(
+                out_ref.dtype
+            )
+        else:
+            rio = jax.lax.broadcasted_iota(jnp.int32, (ct, slotw), 0)
+            cio2 = jax.lax.broadcasted_iota(jnp.int32, (ct, slotw), 1)
+            e2 = jnp.where(rio // p == cio2, 1.0, 0.0)  # cols>=ctq never hit
+            acc_q = jnp.dot(
+                acc, e2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [d, slotw]
+            out_ref[0, :, s * slotw : (s + 1) * slotw] = acc_q.astype(
+                out_ref.dtype
+            )
 
 
 def _payload_level(loc_l, attw_l, hh, ww):
@@ -560,6 +580,9 @@ def _forward(
     jrow = jnp.stack(jrows, axis=0)  # [L, bh, nt]
     pay = jnp.stack(payloads, axis=1)  # [bh, L, 8, n_pad]
 
+    assert ct % p == 0, (ct, p)
+    slotw = max(ct // p, LANE)
+
     def _val_spec(lvl, s, wwp):
         return pl.BlockSpec(
             (1, 1, rm, wwp),
@@ -581,7 +604,7 @@ def _forward(
             for s in range(tiles)
         ],
         out_specs=pl.BlockSpec(
-            (1, d, tiles * ct), lambda i, t, jr: (i, 0, t)
+            (1, d, tiles * slotw), lambda i, t, jr: (i, 0, t)
         ),
     )
     vals = [
@@ -591,23 +614,24 @@ def _forward(
     ]
     out = pl.pallas_call(
         functools.partial(
-            _kernel, wrows, d, stride, nl, tiles, ct, compute_dtype
+            _kernel, wrows, d, stride, nl, tiles, ct, p, slotw,
+            compute_dtype,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, d, n_pad), compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, d, nt * slotw), compute_dtype),
         interpret=interpret,
     )(jrow, pay, *vals)
 
-    out = out[:, :, :n]
-    # reduce points per query via LANE-STRIDED adds on the flat minor dim
-    # (a reshape to [..., q, p] would drag a p-minor axis through the
-    # backward copies at 32x tile padding), then restore [B, Q, H*D] with
-    # a single clean-minor transpose
-    s_pts = out[:, :, 0::p].astype(jnp.float32)
-    for i in range(1, p):
-        s_pts = s_pts + out[:, :, i::p].astype(jnp.float32)
-    s_pts = s_pts.reshape(b, h * d, q).swapaxes(1, 2)  # [b, q, h*d]
-    return s_pts.astype(value.dtype)
+    # un-slot (tiles wrote ct/p query sums per slotw-lane slot), crop the
+    # query padding, restore [B, Q, H*D] with one clean-minor transpose
+    ctq = ct // p
+    if slotw != ctq:
+        out = out.reshape(bh, d, nt, slotw)[:, :, :, :ctq].reshape(
+            bh, d, nt * ctq
+        )
+    out = out[:, :, :q]
+    out = out.reshape(b, h * d, q).swapaxes(1, 2)  # [b, q, h*d]
+    return out.astype(value.dtype)
 
 
 def window_drop_mass(
