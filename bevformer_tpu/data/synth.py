@@ -44,10 +44,16 @@ def _camera_rigs(img_w=1600, img_h=900):
         lidar_from_heading = np.array(
             [[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], np.float64
         )
-        # camera axes in its own frame: x right, y down, z forward
+        # camera axes in its own frame: x right, y down, z forward.
+        # COLUMNS are the camera axes expressed in lidar coords (heading
+        # +x): x_cam (image right) -> -y, y_cam (image down) -> -z,
+        # z_cam (forward) -> +x. (A stray transpose here before round 3
+        # rolled every camera 90 deg: image-horizontal mapped to world-z,
+        # halving the visible BEV wedge and making the synthetic geometry
+        # unrepresentative of nuScenes.)
         cam_axes_in_lidar = np.array(
             [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float64
-        ).T
+        )
         rot = lidar_from_heading @ cam_axes_in_lidar
         rigs[name] = dict(
             rotation=rot,

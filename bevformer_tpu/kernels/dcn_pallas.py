@@ -106,6 +106,13 @@ def _kernel(wrows, ncc, cc, stride, compute_dtype,
     xi = x0.astype(jnp.int32)
     wcol = jnp.where(cio == xi, wx0, 0.0) + jnp.where(cio == xi + 1, wx1, 0.0)
     wcol = wcol.astype(compute_dtype)
+    # f32 mode must ask for HIGHEST or the MXU silently truncates the
+    # operands to bf16 (same pitfall handled in msda_pallas._level_accum)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     # row weights shared by every channel chunk — hoist off the cc loop
     wr = [
         jnp.where(y0 == base + float(r), wy0, 0.0)
@@ -115,7 +122,8 @@ def _kernel(wrows, ncc, cc, stride, compute_dtype,
     for cci in range(ncc):
         val = val_ref[0, 0, cci]  # [wrows*cc, wwp]
         tm = jnp.dot(
-            val, wcol, preferred_element_type=jnp.float32
+            val, wcol, preferred_element_type=jnp.float32,
+            precision=precision,
         )  # [wrows*cc, ct]
         acc = jnp.zeros((cc, ct), jnp.float32)
         for r in range(wrows):

@@ -423,6 +423,11 @@ def _bwd_dval_kernel(wrows, d, stride, n_levels, p, ctq, compute_dtype,
             wcol.astype(compute_dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
         )  # [wrows*d, wwp]
         jprev = jrow_ref[lvl, i, jnp.maximum(t - 1, 0)]
         first = jnp.logical_or(t == 0, j != jprev)
@@ -456,7 +461,17 @@ def _tile_windows(y0i, nt, ct, stride, wrows, nw):
     """Per-tile window index. The window [j*stride, j*stride + wrows - 1]
     must cover rows [lo, hi+1] (both bilinear corners of every item); when
     the tile's spread fits, clamp the centered choice into the covering
-    range so the drop mass is exactly zero."""
+    range so the drop mass is exactly zero.
+
+    The sequence is made MONOTONE non-decreasing along tiles (cumulative
+    max): the backward dValue kernel accumulates tiles sharing a window
+    into one VMEM block and treats a window *change* as a fresh block, so
+    a revisited window after an intervening different one (possible when
+    learned offsets de-sort the sampled rows) would silently overwrite
+    earlier gradient contributions. With cummax, revisits are impossible;
+    any coverage the constraint costs (j forced past a later tile's jmax)
+    is charged to the same out-of-window drop the forward applies, and is
+    visible to `window_drop_mass` (which shares this function)."""
     y0t = y0i.reshape(y0i.shape[0], nt, ct)
     lo = y0t.min(-1)
     hi = y0t.max(-1)
@@ -465,6 +480,7 @@ def _tile_windows(y0i, nt, ct, stride, wrows, nw):
     jmin = -((wrows - 2 - hi) // stride)  # ceil((hi+2-wrows)/stride)
     jmax = jnp.floor_divide(lo, stride)
     j = jnp.clip(jnp.clip(j_ideal, jmin, jmax), 0, nw - 1)
+    j = jax.lax.cummax(j, axis=1)
     return j.astype(jnp.int32)
 
 

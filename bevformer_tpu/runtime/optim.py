@@ -18,9 +18,10 @@ import optax
 from bevformer_tpu.configs import OptimConfig
 
 def _frozen_prefixes(frozen_stages: int):
-    # frozen_stages semantics as in mmdet ResNet: 1 freezes stem+layer1,
-    # 2 adds layer2, ...; <=0 freezes nothing
-    if frozen_stages <= 0:
+    # frozen_stages semantics as in mmdet ResNet (`mmdet/models/backbones/
+    # resnet.py::_freeze_stages`): 0 freezes the stem only, 1 adds layer1,
+    # 2 adds layer2, ...; <0 freezes nothing
+    if frozen_stages < 0:
         return ()
     return ("stem_",) + tuple(
         f"layer{i}_" for i in range(1, frozen_stages + 1)

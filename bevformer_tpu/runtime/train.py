@@ -159,13 +159,16 @@ def make_train_step(model: BEVFormer, tx, *, check_grads: bool = False):
     return train_step
 
 
-def unused_param_report(per_param_grad_norm, params) -> list:
+def unused_param_report(per_param_grad_norm, params, frozen_stages: int = 1,
+                        bn_trainable: bool = False) -> list:
     """Names of parameters with identically-zero gradients, excluding the
     deliberately frozen groups — the reference GradChecker's 'params not
-    used in loss' listing (`models/hooks/hooks.py:6-12`)."""
+    used in loss' listing (`models/hooks/hooks.py:6-12`). frozen_stages /
+    bn_trainable must match the model's optim config (V2 trains its full
+    backbone with live BN) or genuinely-dead params are mis-excluded."""
     from bevformer_tpu.runtime.optim import label_params
 
-    labels = label_params(params)
+    labels = label_params(params, frozen_stages, bn_trainable)
     names = []
     flat_n, _ = jax.tree_util.tree_flatten_with_path(per_param_grad_norm)
     flat_l, _ = jax.tree_util.tree_flatten_with_path(labels)

@@ -1,0 +1,178 @@
+"""Round-3 kernel micro probe: attack the VPU wall in the msda windowed
+kernel (wcol build + row-combine) at base SCA scale.
+
+Variants:
+  full      — the round-2 shipped formulation (baseline)
+  acc2/acc4 — row-combine with N independent accumulators (the 18-term
+              multiply-add chain is sequentially dependent; VPU latency
+              may dominate throughput)
+  rmat      — build the row-weight matrix R[wrows, ct] with ONE pair of
+              2D iota compares, then row-combine from its rows
+  packrows  — R-matrix built once + acc2 accumulators
+  geometry sweep: STRIDE/HALO/CT via env (HALO=9 etc.)
+
+Usage: [STRIDE=4 HALO=13 CT=512] python tools/bench_kernel_probe3.py [modes...]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevformer_tpu.kernels import msda_pallas as mp
+
+b, q, nz, h, l, ppa, d = 6, 16000, 4, 8, 4, 2, 32
+SHAPES = ((116, 200), (58, 100), (29, 50), (15, 25))
+k = sum(a * c for a, c in SHAPES)
+bh = b * h
+STRIDE = int(os.environ.get("STRIDE", "4"))
+HALO = int(os.environ.get("HALO", "13"))
+CT = int(os.environ.get("CT", "512"))
+WROWS = STRIDE + HALO + 1
+
+rng = np.random.RandomState(0)
+val = jnp.array(rng.randn(b, k, h, d) * 0.1, jnp.float32)
+loc_s = jnp.array(rng.rand(b, q * nz, h, l, ppa, 2), jnp.float32)
+base_y = (jnp.arange(q * nz) + 0.5) / (q * nz)
+# offsets spread +-spread rows at level 0 around the sorted anchor row;
+# keep within the probed halo so jrow coverage matches production
+spread = max(HALO - 3, 1)
+loc_s = loc_s.at[..., 1].set(
+    base_y[None, :, None, None, None]
+    + (loc_s[..., 1] - 0.5) * (2.0 * spread / 116)
+)
+w_s = jnp.array(rng.rand(b, q * nz, h, l, ppa), jnp.float32)
+
+
+def make_kernel(mode):
+    def _accum(pay, vv, j, acc):
+        x0 = pay[0:1]; wx0 = pay[1:2]; wx1 = pay[2:3]
+        y0 = pay[3:4]; wy0 = pay[4:5]; wy1 = pay[5:6]
+        wwp = vv.shape[-1]
+        ct = pay.shape[-1]
+        cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
+        xi = x0.astype(jnp.int32)
+        wcol = (jnp.where(cio == xi, wx0, 0.0)
+                + jnp.where(cio == xi + 1, wx1, 0.0)).astype(jnp.bfloat16)
+        tmat = jnp.dot(vv.astype(jnp.bfloat16), wcol,
+                       preferred_element_type=jnp.float32)
+        base = (j * STRIDE).astype(jnp.float32)
+
+        if mode in ("acc2", "acc4"):
+            nacc = 2 if mode == "acc2" else 4
+            accs = [jnp.zeros((d, ct), jnp.float32) for _ in range(nacc)]
+            for r in range(WROWS):
+                fr = base + float(r)
+                wr = (jnp.where(y0 == fr, wy0, 0.0)
+                      + jnp.where(y0 == fr - 1.0, wy1, 0.0))
+                accs[r % nacc] = accs[r % nacc] + wr * tmat[r * d:(r + 1) * d]
+            return acc + sum(accs)
+
+        if mode in ("rmat", "packrows"):
+            rio = jax.lax.broadcasted_iota(jnp.int32, (WROWS, ct), 0)
+            yrel = jnp.broadcast_to((y0 - base), (1, ct)).astype(jnp.int32)
+            rmat = (jnp.where(rio == yrel, jnp.broadcast_to(wy0, (1, ct)), 0.0)
+                    + jnp.where(rio == yrel + 1,
+                                jnp.broadcast_to(wy1, (1, ct)), 0.0))
+            if mode == "rmat":
+                for r in range(WROWS):
+                    acc = acc + rmat[r:r + 1] * tmat[r * d:(r + 1) * d]
+                return acc
+            accs = [jnp.zeros((d, ct), jnp.float32), acc]
+            for r in range(WROWS):
+                accs[r % 2] = accs[r % 2] + rmat[r:r + 1] * tmat[r * d:(r + 1) * d]
+            return accs[0] + accs[1]
+
+        for r in range(WROWS):
+            fr = base + float(r)
+            wr = (jnp.where(y0 == fr, wy0, 0.0)
+                  + jnp.where(y0 == fr - 1.0, wy1, 0.0))
+            acc = acc + wr * tmat[r * d:(r + 1) * d]
+        return acc
+
+    def kern(jrow_ref, pay_ref, *refs):
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        val_refs = refs[:l]
+        out_ref = refs[l]
+        acc = jnp.zeros((d, CT), jnp.float32)
+        for lvl in range(l):
+            acc = _accum(pay_ref[0, lvl], val_refs[lvl][0, 0],
+                         jrow_ref[lvl, i, t], acc)
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def run(value, loc, attw, mode):
+    wv = mp.prepare_window_values(
+        value, SHAPES, stride=STRIDE, halo=HALO, compute_dtype=jnp.bfloat16)
+    n = q * nz * ppa
+    n_pad = mp._round_up(n, CT)
+    nt = n_pad // CT
+    rm = WROWS * d
+    locf = loc.astype(jnp.float32).transpose(0, 2, 1, 4, 3, 5).reshape(
+        bh, n, l, 2)
+    attf = attw.astype(jnp.float32).transpose(0, 2, 1, 4, 3).reshape(
+        bh, n, l)
+    if n_pad != n:
+        locf = jnp.pad(locf, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)),
+                       mode="edge")
+        attf = jnp.pad(attf, ((0, 0), (0, n_pad - n), (0, 0)))
+    payloads, jrows = [], []
+    for lvl, (hh, ww) in enumerate(SHAPES):
+        nw = mp._n_windows(hh, STRIDE)
+        payload, y0i = mp._payload_level(locf[:, :, lvl], attf[:, :, lvl],
+                                         hh, ww)
+        payloads.append(payload)
+        jrows.append(mp._tile_windows(y0i, nt, CT, STRIDE, WROWS, nw))
+    jrow = jnp.stack(jrows, axis=0)
+    pay = jnp.stack(payloads, axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nt),
+        in_specs=[pl.BlockSpec((1, l, 8, CT), lambda i, t, jr: (i, 0, 0, t))]
+        + [pl.BlockSpec((1, 1, rm, mp._round_up(ww, 128)),
+                        (lambda lvl: lambda i, t, jr:
+                         (i, jr[lvl, i, t], 0, 0))(lvl))
+           for lvl, (hh, ww) in enumerate(SHAPES)],
+        out_specs=pl.BlockSpec((1, d, CT), lambda i, t, jr: (i, 0, t)),
+    )
+    return pl.pallas_call(
+        make_kernel(mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, d, n_pad), jnp.bfloat16),
+    )(jrow, pay, *wv)
+
+
+def timed(mode, reps=4):
+    def chained(v, ls, ws):
+        def body(c, _):
+            o = run(v + c * 1e-9, ls, ws, mode)
+            return c + o.astype(jnp.float32).ravel()[0] * 1e-20, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return c
+    j = jax.jit(chained)
+    t0 = time.perf_counter(); float(j(val, loc_s, w_s))
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(j(val, loc_s, w_s))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"s{STRIDE} h{HALO} ct{CT} {mode}: {dt*1e3:.1f} ms "
+          f"(compile {tc:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    for m in sys.argv[1:] or ["full", "acc2", "acc4", "rmat", "packrows"]:
+        timed(m)

@@ -170,7 +170,9 @@ def main():
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
             ppn = metrics.pop("per_param_grad_norm", None)
             if ppn is not None and step == start_step:
-                unused = train.unused_param_report(ppn, state.params)
+                unused = train.unused_param_report(
+                    ppn, state.params, cfg.optim.frozen_stages,
+                    bn_trainable=(cfg.backbone_norm == "bn"))
                 print(json.dumps({"unused_params": unused, "step": step}))
             if step % args.log_interval == 0 or step == total_steps - 1:
                 m = {k: float(v) for k, v in metrics.items()}
