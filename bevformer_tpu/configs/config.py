@@ -10,8 +10,30 @@ same field values. CLI `--cfg-options a.b=c` overrides are supported via
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
+
+
+class FusedSpec(NamedTuple):
+    """Static spec of the fused Pallas deformable-attention paths, threaded
+    through the model as one hashable attribute (in place of the bare mode
+    string).
+
+    `msda`: 'auto' | 'off' | 'fp32' | 'bf16' (see msda_pallas.resolve_impl).
+    `*_halo`: row-window halo per call site (None = module default). The
+    kernel is exact only while sampled rows stay within stride+halo+1-row
+    windows; the halos must cover the learned offset spread.
+    `audit`: sow per-module `window_drop_mass` / SCA capacity-clip scalars
+    into the 'intermediates' collection so the evaluator can verify the
+    fused paths lose zero attention mass on the data actually served
+    (the reference CUDA kernel is unconditionally exact,
+    `multi_scale_deformable_attn_function.py:15-124`)."""
+
+    msda: str = "auto"
+    sca_halo: Optional[int] = None
+    tsa_halo: Optional[int] = None
+    dec_halo: Optional[int] = None
+    audit: bool = False
 
 
 PC_RANGE = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
@@ -34,6 +56,15 @@ class DataConfig:
     use_photometric: bool = True  # train-time PhotoMetricDistortion
     queue_length: int = 4
     num_cams: int = 6
+    # V2 (CropResizeFlip / GlobalRotScaleTrans) train-time augmentation:
+    # t1/t2/t8 use the full recipe; t1-base disables it
+    # (`bevformerv2-r50-t1-base-24ep.py:37-41` fixes resize=[640],
+    # rand_flip=False and drops GlobalRotScaleTransImage)
+    v2_resize_ladder: Tuple[int, ...] = (
+        512, 544, 576, 608, 640, 672, 704, 736, 768,
+    )
+    v2_rand_flip: bool = True
+    v2_use_grst: bool = True
 
     @property
     def img_size(self) -> Tuple[int, int]:
@@ -107,6 +138,15 @@ class BEVFormerConfig:
     # vertical-offset clip radius of the fused DCN kernel (feature pixels);
     # horizontal offsets are exact. Only used when the fused path is active.
     dcn_clip_y: float = 6.0
+    # fused-kernel row-window halos per call site (None = module defaults:
+    # SCA 13 / TSA 6 / decoder 40). The evaluator fused-path guard widens
+    # them when window_drop_mass reports loss on real inputs.
+    sca_fused_halo: Optional[int] = None
+    tsa_fused_halo: Optional[int] = None
+    dec_fused_halo: Optional[int] = None
+    # sow fused-path exactness audits (drop mass, capacity clipping) into
+    # the 'intermediates' collection (enable on eval audit passes)
+    fused_audit: bool = False
     # gradient-checkpoint (jax.checkpoint) each encoder layer during training
     use_remat: bool = False
     rotate_prev_bev: bool = True
@@ -146,6 +186,15 @@ class BEVFormerConfig:
     smooth_l1_beta: float = 1.0
     # model behaviour
     use_grid_mask: bool = True
+
+    def fused_spec(self, audit: Optional[bool] = None) -> FusedSpec:
+        return FusedSpec(
+            msda=self.fused_msda,
+            sca_halo=self.sca_fused_halo,
+            tsa_halo=self.tsa_fused_halo,
+            dec_halo=self.dec_fused_halo,
+            audit=self.fused_audit if audit is None else audit,
+        )
     video_test_mode: bool = True
     # compute dtype for the network ('float32' | 'bfloat16')
     dtype: str = "float32"
@@ -184,16 +233,20 @@ def get_config(name: str, **overrides) -> BEVFormerConfig:
 
 # projects/configs/bevformer/bevformer_base.py
 # sca_capacity_ratio bounds per-camera SCA work like the reference's dynamic
-# rebatch (max_len); 0.4 of 40000 queries covers per-camera visibility with
-# ample margin on nuScenes geometry
-register_config(BEVFormerConfig(name="bevformer_base", sca_capacity_ratio=0.4))
+# rebatch (max_len). Measured per-camera visible-query fractions at base
+# geometry (tools/audit_sca_capacity.py): 0.180 with the synthetic rig,
+# 0.233 with the real nuScenes focal lengths (110-deg CAM_BACK is the
+# worst case); 0.25 covers both with margin, is asserted by
+# tests/test_fused_guard.py::test_capacity_ratio_covers_base_geometry,
+# and is audited/auto-widened at runtime by the evaluator fused guard.
+register_config(BEVFormerConfig(name="bevformer_base", sca_capacity_ratio=0.25))
 
 # projects/configs/bevformer/bevformer_small.py: R101-DCN caffe, C5 only,
 # 150x150 BEV, 3 encoder layers, x0.8 input, queue 3
 register_config(
     BEVFormerConfig(
         name="bevformer_small",
-        sca_capacity_ratio=0.4,
+        sca_capacity_ratio=0.25,
         backbone_out_indices=(3,),
         neck_in_channels=(2048,),
         num_feature_levels=1,
@@ -243,7 +296,7 @@ register_config(
     BEVFormerConfig(
         name="bevformerv2-r50-t1",
         version="v2",
-        sca_capacity_ratio=0.4,
+        sca_capacity_ratio=0.25,
         backbone_depth=50,
         backbone_out_indices=(1, 2, 3),
         backbone_dcn_stages=(),
@@ -279,6 +332,23 @@ register_config(
 register_config(
     CONFIGS["bevformerv2-r50-t1"].replace(
         name="bevformerv2-r50-t8", frames=tuple(range(-7, 1))
+    )
+)
+
+# t1-base (`bevformerv2-r50-t1-base-24ep.py`): t1 without GroupDETR and
+# without train-time aug (fixed resize 640, no flip, no BEV-space
+# GlobalRotScaleTrans); reference NDS 0.4257
+register_config(
+    CONFIGS["bevformerv2-r50-t1"].replace(
+        name="bevformerv2-r50-t1-base",
+        group_detr=1,
+        data=DataConfig(
+            raw_size=(640, 1600),
+            queue_length=1,
+            v2_resize_ladder=(640,),
+            v2_rand_flip=False,
+            v2_use_grst=False,
+        ),
     )
 )
 

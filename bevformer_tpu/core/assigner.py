@@ -103,9 +103,18 @@ def hungarian_match(
     cost = jax.lax.stop_gradient(cost)
 
     if impl == "auto":
+        import os
+
         # host callbacks inside jit are unsupported on some TPU runtimes
-        # (axon PJRT); solve on device there, use exact scipy on CPU
-        impl = "scipy" if jax.default_backend() == "cpu" else "device"
+        # (axon PJRT); solve on device there, use exact scipy on CPU.
+        # BEVFORMER_LAP_IMPL overrides (the multi-chip dryrun forces
+        # 'device' so the CPU mesh compiles the same matcher a TPU mesh
+        # would — pure_callback pins to device 0 and forces SPMD
+        # resharding/rematerialization around it)
+        impl = os.environ.get(
+            "BEVFORMER_LAP_IMPL",
+            "scipy" if jax.default_backend() == "cpu" else "device",
+        )
 
     if impl == "scipy":
         return jax.pure_callback(

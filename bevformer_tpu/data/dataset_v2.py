@@ -67,17 +67,15 @@ class NuScenesTemporalDatasetV2(NuScenesTemporalDataset):
         ida = pipeline_v2.sample_crop_resize_flip(
             self.rng,
             resize_ladder=(
-                (512, 544, 576, 608, 640, 672, 704, 736, 768)
-                if train
-                else (640,)
+                tuple(d.v2_resize_ladder) if train else (640,)
             ),
             crop=crop,
-            rand_flip=train,
+            rand_flip=train and d.v2_rand_flip,
             training=train,
         )
         bda = (
             pipeline_v2.sample_global_rot_scale_flip(self.rng)
-            if train
+            if train and d.v2_use_grst
             else dict(
                 rot_angle=0.0,
                 scale_ratio=1.0,

@@ -655,7 +655,23 @@ def window_drop_mass(
     stride=8, halo=8, cap_tile=256,
 ):
     """Audit: per-level total attention weight lost to out-of-window items
-    (0.0 = the kernel is exact vs the oracle for this input order)."""
+    (0.0 = the kernel is exact vs the oracle for this input order).
+    Host-side wrapper (python floats); use `window_drop_mass_in_graph`
+    inside jit (the production audit path)."""
+    dm = window_drop_mass_in_graph(
+        spatial_shapes, sampling_locations, attention_weights,
+        stride=stride, halo=halo, cap_tile=cap_tile,
+    )
+    return [float(v) for v in dm]
+
+
+def window_drop_mass_in_graph(
+    spatial_shapes, sampling_locations, attention_weights, *,
+    stride=8, halo=8, cap_tile=256,
+):
+    """In-graph drop-mass audit: returns a [n_levels] jnp array of lost
+    attention mass. Traces the same `_tile_windows` the kernel uses, so it
+    reports exactly what the fused forward drops for this input order."""
     b, q, h, l, p, _ = sampling_locations.shape
     bh, n = b * h, q * p
     ct = cap_tile
@@ -692,8 +708,8 @@ def window_drop_mass(
         out0 = (y0i < base) | (y0i > base + wrows - 1)
         out1 = (y0i + 1 < base) | (y0i + 1 > base + wrows - 1)
         lost = attw[:, :, lvl] * (wy0 * out0 + wy1 * out1)
-        dropped.append(float(lost.sum()))
-    return dropped
+        dropped.append(lost.sum())
+    return jnp.stack(dropped)
 
 
 def resolve_impl(mode: str) -> str:

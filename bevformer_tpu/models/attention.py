@@ -31,13 +31,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bevformer_tpu.configs.config import FusedSpec
 from bevformer_tpu.kernels import ms_deform_attn
 
 
-def _fused_mode(mode: str) -> str:
+def _as_spec(fused) -> FusedSpec:
+    """The fused-path attribute is threaded through every model level;
+    accept the legacy bare mode string or a full FusedSpec."""
+    if isinstance(fused, FusedSpec):
+        return fused
+    return FusedSpec(msda=fused)
+
+
+def _fused_mode(fused) -> str:
     from bevformer_tpu.kernels.msda_pallas import resolve_impl
 
-    return resolve_impl(mode)
+    return resolve_impl(_as_spec(fused).msda)
 
 
 def _fused_dtype(mode: str):
@@ -217,17 +226,21 @@ class MSDeformableAttention3D(nn.Module):
     # kernels.msda.ms_deform_attn_window). Points are clamped into the
     # window (exact while offsets stay within ~window/2 - 1 cells).
     window: int = 0
-    # fused Pallas windowed kernel: 'auto' (bf16 on TPU, off on CPU),
-    # 'off', 'fp32', 'bf16'. Items are (query, z-anchor) pairs sorted by
-    # projected anchor row so each kernel tile is row-coherent.
-    fused_msda: str = "off"
-    # window geometry: kernel MXU cost scales with stride+halo+1 rows, so
-    # keep the window as small as exactness allows. halo must cover the
-    # learned offset spread (the grid-init bias alone reaches num_points=8
-    # rows) plus the per-tile anchor spread; stride 4 gives finer window
-    # placement. Audit with msda_pallas.window_drop_mass.
+    # fused Pallas windowed kernel: a FusedSpec, or a bare mode string
+    # ('auto' = bf16 on TPU / off on CPU, 'off', 'fp32', 'bf16'). Items are
+    # (query, z-anchor) pairs sorted by projected anchor row so each kernel
+    # tile is row-coherent.
+    fused_msda: Any = "off"
+    # window geometry: kernel matmul cost scales with stride+halo+1 rows,
+    # so keep the window as small as exactness allows. The grid-init bias
+    # is ONE-directional per head (offsets s_h*(i+1), same sign), so the
+    # within-tile row spread is ~7|s_h|, not +-8: measured drop-free down
+    # to halo 8 at base scale with real init offsets + capacity routing
+    # (tools/audit_halo.py); ship 9 for margin. Trained checkpoints whose
+    # offsets spread further are caught by the runtime drop-mass audit and
+    # auto-widened by the evaluator guard (cfg.sca_fused_halo override).
     fused_stride: int = 4
-    fused_halo: int = 13
+    fused_halo: int = 9
     # kernel item-tile width (larger = less per-program overhead; a tile
     # must stay row-coherent, trivially true at production item counts)
     fused_cap_tile: int = 512
@@ -456,11 +469,30 @@ class MSDeformableAttention3D(nn.Module):
         # [.., l, ppa, 2]-minor array crossing the custom_vjp/jit boundary
         # gets a tile-padded layout (32x memory — the base train OOM)
         loc_s_flat = off_s_flat + jnp.tile(ref_s, (1, 1, nch))
+        spec = _as_spec(self.fused_msda)
+        halo = spec.sca_halo if spec.sca_halo is not None else self.fused_halo
+        if spec.audit:
+            from bevformer_tpu.kernels.msda_pallas import (
+                window_drop_mass_in_graph,
+            )
+
+            dm = window_drop_mass_in_graph(
+                spatial_shapes,
+                loc_s_flat.reshape(b, q * nz, h, l, ppa, 2),
+                w_s.reshape(b, q * nz, h, l, ppa),
+                stride=self.fused_stride, halo=halo,
+                cap_tile=self.fused_cap_tile,
+            )
+            self.sow("intermediates", "msda_drop_mass", dm)
+            self.sow(
+                "intermediates", "msda_total_mass",
+                jnp.sum(w_s.astype(jnp.float32)),
+            )
         out_s = ms_deform_attn_pallas(
             v, spatial_shapes, loc_s_flat,
             w_s.reshape(b, q * nz, nch),
             heads=h, points=ppa,
-            stride=self.fused_stride, halo=self.fused_halo,
+            stride=self.fused_stride, halo=halo,
             cap_tile=self.fused_cap_tile,
             compute_dtype=_fused_dtype(mode),
         )  # [b, q*nz, h*dh]
@@ -525,7 +557,7 @@ class SpatialCrossAttention(nn.Module):
     # identical numerics whenever capacity >= the visible count.
     capacity_ratio: float = 0.0
     # fused Pallas windowed kernel mode, forwarded to the inner attention
-    fused_msda: str = "off"
+    fused_msda: Any = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -578,6 +610,17 @@ class SpatialCrossAttention(nn.Module):
             found = pre.get("found")
             if inv is None:
                 inv, found = routing_inverse(top_idx, q)
+            if _as_spec(self.fused_msda).audit:
+                # visible queries beyond the static capacity are silently
+                # dropped (the reference's dynamic rebatch never drops,
+                # `spatial_cross_attention.py:136-172`) — expose the count
+                vis_count = anyz.astype(jnp.int32).sum(axis=2)  # [bs, cams]
+                clipped = jnp.maximum(vis_count - cap, 0).sum()
+                self.sow("intermediates", "sca_capacity_clipped", clipped)
+                self.sow(
+                    "intermediates", "sca_capacity_max_visible",
+                    vis_count.max(),
+                )
             q_sel = route_gather(query, top_idx, inv, found)
 
             attn = inner(
@@ -633,13 +676,14 @@ class TemporalSelfAttention(nn.Module):
     # on TPU today (see the DCN note in resnet.py) — revisit with a tiled
     # kernel.
     window_radius: int = 0
-    # fused Pallas windowed kernel: 'auto' (bf16 on TPU, off on CPU),
-    # 'off', 'fp32', 'bf16'
-    fused_msda: str = "off"
-    # TSA offsets are small (grid-init bias <= num_points=4 rows); the
-    # window only needs tile spread + 2*4 + 1 rows
+    # fused Pallas windowed kernel: FusedSpec or bare mode string
+    fused_msda: Any = "off"
+    # TSA offsets are small and one-directional per head (grid-init bias
+    # s_h*(i+1), i < 4): measured drop-free down to halo 4 at 200x200
+    # (tools/audit_halo.py); ship 5 for margin (cfg.tsa_fused_halo
+    # overrides; the evaluator guard auto-widens on measured drop)
     fused_stride: int = 4
-    fused_halo: int = 6
+    fused_halo: int = 5
     fused_cap_tile: int = 512
     dtype: jnp.dtype = jnp.float32
 
@@ -726,9 +770,28 @@ class TemporalSelfAttention(nn.Module):
             # stay within it in practice (grid init <= 4 cells)
             from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
 
+            spec = _as_spec(self.fused_msda)
+            halo = (
+                spec.tsa_halo if spec.tsa_halo is not None else self.fused_halo
+            )
+            if spec.audit:
+                from bevformer_tpu.kernels.msda_pallas import (
+                    window_drop_mass_in_graph,
+                )
+
+                dm = window_drop_mass_in_graph(
+                    ((bev_h, bev_w),), locations, weights,
+                    stride=self.fused_stride, halo=halo,
+                    cap_tile=self.fused_cap_tile,
+                )
+                self.sow("intermediates", "msda_drop_mass", dm)
+                self.sow(
+                    "intermediates", "msda_total_mass",
+                    jnp.sum(weights.astype(jnp.float32)),
+                )
             out = ms_deform_attn_pallas(
                 v, ((bev_h, bev_w),), locations, weights,
-                stride=self.fused_stride, halo=self.fused_halo,
+                stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),
             )
@@ -761,10 +824,11 @@ class CustomMSDeformableAttention(nn.Module):
     num_levels: int = 1
     num_points: int = 4
     dropout: float = 0.1
-    # fused Pallas kernel mode; queries are sorted by reference y per call
-    # (references refine per decoder layer). Payoff is the scatter-free
-    # BACKWARD — the decoder's XLA bwd scatters ~29K rows/layer.
-    fused_msda: str = "off"
+    # fused Pallas kernel mode (FusedSpec or bare string); queries are
+    # sorted by reference y per call (references refine per decoder
+    # layer). Payoff is the scatter-free BACKWARD — the decoder's XLA bwd
+    # scatters ~29K rows/layer.
+    fused_msda: Any = "off"
     # few queries => one item tile spans MANY sorted BEV rows (a 256-item
     # tile at base covers ~14 of 200 rows); generous halo keeps the drop
     # mass at zero and costs nothing at q=900 scale
@@ -841,9 +905,28 @@ class CustomMSDeformableAttention(nn.Module):
             lw = permute_rows(lw, perm, inv)
             loc_s = lw[..., : h * l * p * 2].reshape(bs, q, h, l, p, 2)
             w_s = lw[..., h * l * p * 2 :].reshape(bs, q, h, l, p)
+            spec = _as_spec(self.fused_msda)
+            halo = (
+                spec.dec_halo if spec.dec_halo is not None else self.fused_halo
+            )
+            if spec.audit:
+                from bevformer_tpu.kernels.msda_pallas import (
+                    window_drop_mass_in_graph,
+                )
+
+                dm = window_drop_mass_in_graph(
+                    spatial_shapes, loc_s, w_s,
+                    stride=self.fused_stride, halo=halo,
+                    cap_tile=self.fused_cap_tile,
+                )
+                self.sow("intermediates", "msda_drop_mass", dm)
+                self.sow(
+                    "intermediates", "msda_total_mass",
+                    jnp.sum(w_s.astype(jnp.float32)),
+                )
             out = ms_deform_attn_pallas(
                 v, spatial_shapes, loc_s, w_s,
-                stride=self.fused_stride, halo=self.fused_halo,
+                stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),
             )

@@ -9,7 +9,7 @@ reference-point refinement after every layer.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -25,7 +25,7 @@ class DetrDecoderLayer(nn.Module):
     feedforward_channels: int = 512
     ffn_dropout: float = 0.1
     attn_dropout: float = 0.1
-    fused_msda: str = "off"
+    fused_msda: Any = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -95,7 +95,7 @@ class DetectionTransformerDecoder(nn.Module):
     # the reference folds groups into the batch — a block mask is the same
     # computation with static shapes). At eval only one group is present.
     group_detr: int = 1
-    fused_msda: str = "off"
+    fused_msda: Any = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

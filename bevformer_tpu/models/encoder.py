@@ -8,7 +8,7 @@ serves both the first frame and the video steady state.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ class BEVFormerLayer(nn.Module):
     sca_num_points: int = 8
     tsa_num_points: int = 4
     sca_capacity_ratio: float = 0.0
-    fused_msda: str = "off"
+    fused_msda: Any = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,7 +117,7 @@ class _EncoderScanBody(nn.Module):
     num_cams: int
     num_levels: int
     sca_capacity_ratio: float
-    fused_msda: str
+    fused_msda: Any
     deterministic: bool
     has_prev_input: bool
     spatial_shapes: tuple
@@ -191,7 +191,7 @@ class BEVFormerEncoder(nn.Module):
     num_points_in_pillar: int = 4
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     sca_capacity_ratio: float = 0.0
-    fused_msda: str = "off"
+    fused_msda: Any = "off"
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -274,7 +274,8 @@ class BEVFormerEncoder(nn.Module):
             body = nn.remat(_EncoderScanBody, prevent_cse=False)
         scanned = nn.scan(
             body,
-            variable_axes={"params": 0, "batch_stats": 0},
+            # intermediates: per-layer audit scalars (fused_audit sows)
+            variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=nn.broadcast,
             length=self.num_layers,

@@ -108,7 +108,7 @@ class BEVFormerHead(nn.Module):
                 inter_channels=c.inter_channels,
                 group_detr=c.group_detr,
                 sca_capacity_ratio=c.sca_capacity_ratio,
-                fused_msda=c.fused_msda,
+                fused_msda=c.fused_spec(),
                 use_remat=c.use_remat,
                 dtype=dtype,
                 name="transformer",
@@ -130,7 +130,7 @@ class BEVFormerHead(nn.Module):
                 use_can_bus=c.use_can_bus,
                 rotate_center=c.rotate_center,
                 sca_capacity_ratio=c.sca_capacity_ratio,
-                fused_msda=c.fused_msda,
+                fused_msda=c.fused_spec(),
                 use_remat=c.use_remat,
                 dtype=dtype,
                 name="transformer",

@@ -8,7 +8,7 @@ initial reference points.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -37,7 +37,7 @@ class PerceptionTransformer(nn.Module):
     use_cams_embeds: bool = True
     sca_capacity_ratio: float = 0.0
     # fused Pallas msda kernel mode ('auto'|'off'|'fp32'|'bf16')
-    fused_msda: str = "off"
+    fused_msda: Any = "off"
     use_remat: bool = False
     rotate_center: Tuple[float, float] = (100.0, 100.0)
     dtype: jnp.dtype = jnp.float32

@@ -13,7 +13,7 @@ Mirrors `modules/transformerV2.py`:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -134,7 +134,7 @@ class PerceptionTransformerV2Flax(nn.Module):
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     use_cams_embeds: bool = True
     sca_capacity_ratio: float = 0.0
-    fused_msda: str = "off"
+    fused_msda: Any = "off"
     use_remat: bool = False
     frames: Tuple[int, ...] = (0,)
     num_fusion: int = 3

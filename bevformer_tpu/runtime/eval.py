@@ -23,13 +23,50 @@ from bevformer_tpu.core import coder
 from bevformer_tpu.models import BEVFormer
 
 
+def collect_fused_audit(intermediates):
+    """Reduce the sown fused-path audit scalars to (drop_mass, total_mass,
+    capacity_clipped) jnp scalars (usable inside jit)."""
+    drop = jnp.float32(0.0)
+    total = jnp.float32(0.0)
+    clipped = jnp.int32(0)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(intermediates)[0]:
+        name = str(path[-2].key)
+        if name == "msda_drop_mass":
+            drop = drop + jnp.sum(leaf)
+        elif name == "msda_total_mass":
+            total = total + jnp.sum(leaf)
+        elif name == "sca_capacity_clipped":
+            clipped = clipped + jnp.sum(leaf)
+    return drop, total, clipped
+
+
 class VideoEvaluator:
-    def __init__(self, model: BEVFormer, params, max_num: Optional[int] = None):
+    """`audit_interval` > 0 runs the fused-path exactness audits (window
+    drop mass + SCA capacity clipping, sown as intermediates) on the first
+    frame and then every `audit_interval` frames; `fused_guard=True`
+    additionally auto-widens the fused halos / capacity and recompiles when
+    the first-frame audit reports loss, so converted checkpoints whose
+    learned offsets exceed the shipped windows can never silently lose
+    attention mass (the reference CUDA kernel is unconditionally exact,
+    `multi_scale_deformable_attn_function.py:15-124`)."""
+
+    def __init__(self, model: BEVFormer, params, max_num: Optional[int] = None,
+                 audit_interval: int = 0, fused_guard: bool = False,
+                 drop_tol: float = 1e-6):
         self.model = model
         self.params = params
         self.cfg = model.cfg
-        c = self.cfg
-        self.max_num = max_num or c.max_num
+        self.max_num = max_num or model.cfg.max_num
+        self.audit_interval = audit_interval
+        self.fused_guard = fused_guard
+        self.drop_tol = drop_tol
+        self.audit_log: List[Dict] = []
+        self._frame_i = 0
+        self._build()
+        self.reset()
+
+    def _build(self):
+        model, params, c = self.model, self.params, self.cfg
 
         def step(images, can_bus, lidar2img, prev_bev, has_prev):
             preds = model.apply(
@@ -44,7 +81,78 @@ class VideoEvaluator:
             return preds["bev_embed"], dec
 
         self._step = jax.jit(step)
-        self.reset()
+        self._audit_step = None
+        if self.audit_interval or self.fused_guard:
+            import dataclasses
+
+            audit_model = BEVFormer(
+                cfg=dataclasses.replace(c, fused_audit=True)
+            )
+
+            def audit_step(images, can_bus, lidar2img, prev_bev, has_prev):
+                _, mut = audit_model.apply(
+                    params, images, can_bus, lidar2img, prev_bev, has_prev,
+                    mutable=["intermediates"],
+                )
+                return collect_fused_audit(mut["intermediates"])
+
+            self._audit_step = jax.jit(audit_step)
+
+    def audit_frame(self, images, can_bus, lidar2img) -> Dict:
+        """Run the exactness audits on one (preprocessed) frame."""
+        drop, total, clipped = self._audit_step(
+            images, can_bus, lidar2img, self._prev_bev,
+            jnp.asarray([self._has_prev]),
+        )
+        rec = {
+            "frame": self._frame_i,
+            "drop_mass": float(drop),
+            "total_mass": float(total),
+            "drop_frac": float(drop) / max(float(total), 1.0),
+            "capacity_clipped": int(clipped),
+            "sca_halo": self.cfg.sca_fused_halo,
+            "tsa_halo": self.cfg.tsa_fused_halo,
+            "dec_halo": self.cfg.dec_fused_halo,
+            "capacity_ratio": self.cfg.sca_capacity_ratio,
+        }
+        self.audit_log.append(rec)
+        return rec
+
+    def _guard_frame(self, images, can_bus, lidar2img):
+        """First-frame guard: widen halos / capacity until the audit is
+        clean (each widening recompiles; bounded retries)."""
+        import dataclasses
+
+        for attempt in range(4):
+            rec = self.audit_frame(images, can_bus, lidar2img)
+            bad_drop = rec["drop_frac"] > self.drop_tol
+            bad_cap = rec["capacity_clipped"] > 0
+            if not (bad_drop or bad_cap):
+                return
+            c = self.cfg
+            updates = {}
+            if bad_drop:
+                updates.update(
+                    sca_fused_halo=(c.sca_fused_halo or 13) + 8,
+                    tsa_fused_halo=(c.tsa_fused_halo or 6) + 8,
+                    dec_fused_halo=(c.dec_fused_halo or 40) + 16,
+                )
+            if bad_cap:
+                updates.update(
+                    sca_capacity_ratio=min(
+                        c.sca_capacity_ratio + 0.1, 1.0
+                    )
+                )
+            print(
+                f"[fused-guard] audit failed ({rec}); widening {updates}",
+                flush=True,
+            )
+            self.cfg = dataclasses.replace(c, **updates)
+            self.model = BEVFormer(cfg=self.cfg)
+            self._build()
+        raise RuntimeError(
+            f"fused-path guard could not reach exactness: {self.audit_log[-1]}"
+        )
 
     def reset(self):
         c = self.cfg
@@ -76,10 +184,28 @@ class VideoEvaluator:
             can_bus[:3] = 0
             can_bus[-1] = 0
 
+        images = jnp.asarray(sample["images"], jnp.float32)[None]
+        can = jnp.asarray(can_bus, jnp.float32)[None]
+        l2i = jnp.asarray(sample["lidar2img"], jnp.float32)[None]
+        first = self._frame_i == 0
+        periodic = self.audit_interval and (
+            self._frame_i % self.audit_interval == 0
+        )
+        if (first and self.fused_guard) or periodic:
+            if first and self.fused_guard:
+                self._guard_frame(images, can, l2i)
+            else:
+                rec = self.audit_frame(images, can, l2i)
+                if (
+                    rec["drop_frac"] > self.drop_tol
+                    or rec["capacity_clipped"] > 0
+                ):
+                    print(f"[fused-audit] WARNING: {rec}", flush=True)
+        self._frame_i += 1
         bev, dec = self._step(
-            jnp.asarray(sample["images"], jnp.float32)[None],
-            jnp.asarray(can_bus, jnp.float32)[None],
-            jnp.asarray(sample["lidar2img"], jnp.float32)[None],
+            images,
+            can,
+            l2i,
             self._prev_bev,
             jnp.asarray([self._has_prev]),
         )

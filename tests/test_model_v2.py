@@ -142,9 +142,17 @@ def test_v2_loss_with_groups():
 
 
 def test_v2_configs_registered():
-    for name in ("bevformerv2-r50-t1", "bevformerv2-r50-t2", "bevformerv2-r50-t8"):
+    for name in ("bevformerv2-r50-t1", "bevformerv2-r50-t2",
+                 "bevformerv2-r50-t8", "bevformerv2-r50-t1-base"):
         cfg = get_config(name)
         assert cfg.version == "v2"
     assert get_config("bevformerv2-r50-t2").frames == (-1, 0)
     assert len(get_config("bevformerv2-r50-t8").frames) == 8
     assert get_config("bevformerv2-r50-t1").group_detr == 11
+    # t1-base = t1 minus GroupDETR and minus train-time aug
+    # (`bevformerv2-r50-t1-base-24ep.py:34-41,64-72,190`)
+    base = get_config("bevformerv2-r50-t1-base")
+    assert base.group_detr == 1
+    assert base.frames == (0,)
+    assert base.data.v2_resize_ladder == (640,)
+    assert not base.data.v2_rand_flip and not base.data.v2_use_grst

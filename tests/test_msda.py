@@ -273,6 +273,50 @@ def test_windowed_pallas_incoherent_drops_are_bounded_and_audited():
     assert np.isfinite(out).all()
 
 
+def test_windowed_pallas_backward_consistent_incoherent_order():
+    """With a y-INCOHERENT item order the kernel may drop mass, but its
+    gradient must stay consistent with whatever function it computes.
+    Before round 3 a revisited window index (j=5,6,5 style sequences)
+    OVERWROTE the previously accumulated dValue block in the backward
+    (_tile_windows now emits a cummax-monotone sequence shared by forward,
+    backward and the drop audit). Verified by a directional finite
+    difference of the fused forward itself."""
+    import jax
+
+    from bevformer_tpu.kernels import msda_pallas as mp
+
+    rng = np.random.RandomState(3)
+    shapes = ((64, 12),)
+    b, q, heads, points, d = 1, 96, 2, 4, 16
+    k = sum(h * w for h, w in shapes)
+    value = jnp.array(rng.randn(b, k, heads, d), jnp.float32)
+    # alternate row bands per 32-query block so consecutive tiles map to
+    # windows ...j, j', j... (non-monotone before the cummax fix)
+    base = np.where((np.arange(q) // 32) % 2 == 0, 0.3, 0.7)
+    y = base[None, :, None, None, None] + rng.uniform(
+        -0.05, 0.05, size=(b, q, heads, 1, points)
+    )
+    x = rng.uniform(0, 1, size=(b, q, heads, 1, points))
+    loc = jnp.array(np.stack([x, y], -1), jnp.float32)
+    w = jnp.array(rng.rand(b, q, heads, 1, points), jnp.float32)
+    cot = jnp.array(rng.randn(b, q, heads * d), jnp.float32)
+
+    def f(v):
+        out = mp.ms_deform_attn_pallas(
+            v, shapes, loc, w, stride=4, halo=6, cap_tile=64,
+        )
+        return (out * cot).sum()
+
+    gv = jax.grad(f)(value)
+    dv = jnp.array(rng.randn(*value.shape), jnp.float32)
+    eps = 1e-3
+    fd = (f(value + eps * dv) - f(value - eps * dv)) / (2 * eps)
+    an = jnp.vdot(gv, dv)
+    assert abs(float(fd) - float(an)) < 1e-2 * max(abs(float(fd)), 1.0), (
+        float(fd), float(an)
+    )
+
+
 def test_tsa_fused_matches_off():
     """TemporalSelfAttention with the fused kernel (interpret mode on CPU)
     must match the XLA path: BEV grid order is row-coherent and init

@@ -463,3 +463,341 @@ class FPN(nn.Module):
             src = self.fpn_convs[i](src)
             outs.append(src)
         return outs
+
+
+# ---------------------------------------------------------------------------
+# Full-model replica (round 3): whole BEVFormer v1 eval forward, with module
+# attribute names matching the REFERENCE state_dict keys so the entire
+# replica loads directly from `export_reference_state_dict` output
+# (`detectors/bevformer.py:236-292`, `dense_heads/bevformer_head.py:118-203`,
+# `modules/transformer.py:104-289`, `modules/decoder.py:52-129`).
+# ---------------------------------------------------------------------------
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """mmdet LearnedPositionalEncoding: channels = cat(col_embed[x],
+    row_embed[y]) per BEV cell."""
+
+    def __init__(self, num_feats, row_num_embed, col_num_embed):
+        super().__init__()
+        self.row_embed = nn.Embedding(row_num_embed, num_feats)
+        self.col_embed = nn.Embedding(col_num_embed, num_feats)
+        self.h = row_num_embed
+        self.w = col_num_embed
+
+    def forward(self, bs):
+        x = torch.arange(self.w)
+        y = torch.arange(self.h)
+        xe = self.col_embed(x)  # [w, f]
+        ye = self.row_embed(y)  # [h, f]
+        pos = torch.cat(
+            [
+                xe.unsqueeze(0).repeat(self.h, 1, 1),
+                ye.unsqueeze(1).repeat(1, self.w, 1),
+            ],
+            dim=-1,
+        )  # [h, w, 2f]
+        return pos.reshape(1, self.h * self.w, -1).repeat(bs, 1, 1)
+
+
+class _MHAWrap(nn.Module):
+    """mmcv MultiheadAttention wrapper: the torch module lives at `.attn`
+    (reference keys `attentions.0.attn.in_proj_weight`...)."""
+
+    def __init__(self, embed_dims, num_heads):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(embed_dims, num_heads,
+                                          batch_first=True)
+
+    def forward(self, query, query_pos):
+        q = query + query_pos
+        out, _ = self.attn(q, q, query)
+        return out + query
+
+
+class DetrDecoderLayer(nn.Module):
+    """mmcv DetrTransformerDecoderLayer as configured by the reference
+    (`bevformer_base.py:107-131`): MHA -> LN -> CustomMSDeformableAttention
+    -> LN -> FFN -> LN."""
+
+    def __init__(self, embed_dims=256, num_heads=8, feedforward_channels=512):
+        super().__init__()
+        self.attentions = nn.ModuleList([
+            _MHAWrap(embed_dims, num_heads),
+            CustomMSDeformableAttention(embed_dims, num_heads, 1, 4),
+        ])
+        self.norms = nn.ModuleList([nn.LayerNorm(embed_dims) for _ in range(3)])
+        self.ffns = nn.ModuleList([FFN(embed_dims, feedforward_channels)])
+
+    def forward(self, query, bev_value, query_pos, reference_points,
+                bev_shape):
+        q = self.attentions[0](query, query_pos)
+        q = self.norms[0](q)
+        q = self.attentions[1](q, bev_value, query_pos, reference_points,
+                               [bev_shape])
+        q = self.norms[1](q)
+        q = self.ffns[0](q)
+        q = self.norms[2](q)
+        return q
+
+
+def inverse_sigmoid(x, eps=1e-5):
+    x = x.clamp(min=eps, max=1 - eps)
+    return torch.log(x / (1 - x))
+
+
+class DetectionTransformerDecoder(nn.Module):
+    """`modules/decoder.py:52-129`: per-layer detached reference
+    refinement through the reg branches."""
+
+    def __init__(self, num_layers, embed_dims=256, num_heads=8,
+                 feedforward_channels=512):
+        super().__init__()
+        self.layers = nn.ModuleList([
+            DetrDecoderLayer(embed_dims, num_heads, feedforward_channels)
+            for _ in range(num_layers)
+        ])
+
+    def forward(self, query, bev_value, query_pos, reference_points,
+                bev_shape, reg_branches):
+        intermediate = []
+        inter_refs = []
+        for lid, layer in enumerate(self.layers):
+            ref2d = reference_points[..., :2].unsqueeze(2)  # [bs, q, 1, 2]
+            query = layer(query, bev_value, query_pos, ref2d, bev_shape)
+            tmp = reg_branches[lid](query)
+            new_ref = torch.zeros_like(reference_points)
+            new_ref[..., :2] = tmp[..., :2] + inverse_sigmoid(
+                reference_points[..., :2]
+            )
+            new_ref[..., 2:3] = tmp[..., 4:5] + inverse_sigmoid(
+                reference_points[..., 2:3]
+            )
+            reference_points = new_ref.sigmoid().detach()
+            intermediate.append(query)
+            inter_refs.append(reference_points)
+        return torch.stack(intermediate), torch.stack(inter_refs)
+
+
+class BEVFormerEncoder(nn.Module):
+    """`modules/encoder.py:24-239` eval forward for the FIRST frame
+    (has_prev=False: hybrid refs are both the current grid, the TSA value
+    queue is (layer input, layer input))."""
+
+    def __init__(self, num_layers, embed_dims, num_heads, num_levels,
+                 sca_points, tsa_points, num_cams, feedforward_channels,
+                 pc_range, num_points_in_pillar=4):
+        super().__init__()
+        self.layers = nn.ModuleList([
+            BEVFormerLayer(embed_dims, num_heads, num_levels, sca_points,
+                           tsa_points, num_cams, feedforward_channels)
+            for _ in range(num_layers)
+        ])
+        self.pc_range = pc_range
+        self.npp = num_points_in_pillar
+
+    def forward(self, bev_query, value, bev_pos, lidar2img, img_shape,
+                spatial_shapes, bev_h, bev_w):
+        bs = bev_query.shape[0]
+        # 3D pillar refs (`encoder.py:47-85`), normalized: z sampled at
+        # (0.5 .. Z-0.5)/Z with Z the METRIC pillar extent
+        zsize = self.pc_range[5] - self.pc_range[2]
+        zs = (torch.linspace(0.5, zsize - 0.5, self.npp) / zsize)
+        xs = (torch.arange(bev_w, dtype=torch.float32) + 0.5) / bev_w
+        ys = (torch.arange(bev_h, dtype=torch.float32) + 0.5) / bev_h
+        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+        q = bev_h * bev_w
+        ref3d = torch.stack([
+            gx.reshape(-1).unsqueeze(0).repeat(self.npp, 1),
+            gy.reshape(-1).unsqueeze(0).repeat(self.npp, 1),
+            zs.unsqueeze(1).repeat(1, q),
+        ], dim=-1).unsqueeze(0)  # [1, D, Q, 3]
+        ref_cam, bev_mask = point_sampling(
+            ref3d, self.pc_range, lidar2img, img_shape
+        )
+        ref2d = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1).reshape(
+            1, q, 1, 2
+        ).repeat(bs, 1, 1, 1)
+        hybrid = torch.cat([ref2d, ref2d], 0)  # (prev=cur, cur), bs*2
+
+        query = bev_query
+        for layer in self.layers:
+            tsa_value = torch.cat([query, query], 0)  # [bs*2, q, e]
+            query = layer(query, value, bev_pos, tsa_value, hybrid,
+                          ref_cam, bev_mask, spatial_shapes,
+                          (bev_h, bev_w))
+        return query
+
+
+class PerceptionTransformer(nn.Module):
+    """`modules/transformer.py:27-289` (first-frame eval: no prev BEV, no
+    rotate; can-bus MLP still applied)."""
+
+    def __init__(self, embed_dims, num_levels, num_cams, encoder_layers,
+                 decoder_layers, num_heads, feedforward_channels,
+                 sca_points, tsa_points, pc_range):
+        super().__init__()
+        self.embed_dims = embed_dims
+        self.level_embeds = nn.Parameter(torch.zeros(num_levels, embed_dims))
+        self.cams_embeds = nn.Parameter(torch.zeros(num_cams, embed_dims))
+        self.reference_points = nn.Linear(embed_dims, 3)
+        self.can_bus_mlp = nn.Sequential(
+            nn.Linear(18, embed_dims // 2), nn.ReLU(inplace=True),
+            nn.Linear(embed_dims // 2, embed_dims), nn.ReLU(inplace=True),
+        )
+        self.can_bus_mlp.add_module("norm", nn.LayerNorm(embed_dims))
+        self.encoder = BEVFormerEncoder(
+            encoder_layers, embed_dims, num_heads, num_levels, 8,
+            tsa_points, num_cams, feedforward_channels, pc_range,
+        )
+        self.decoder = DetectionTransformerDecoder(
+            decoder_layers, embed_dims, num_heads, feedforward_channels,
+        )
+
+    def forward(self, mlvl_feats, bev_queries, object_query_embed, bev_pos,
+                bev_h, bev_w, can_bus, lidar2img, img_shape, reg_branches):
+        bs = mlvl_feats[0].shape[0]
+        e = self.embed_dims
+        queries = bev_queries.unsqueeze(0).repeat(bs, 1, 1)
+        queries = queries + self.can_bus_mlp(can_bus)[:, None, :]
+
+        feat_flat = []
+        spatial_shapes = []
+        for lvl, feat in enumerate(mlvl_feats):
+            b_, cams, h, w, _ = feat.shape
+            f = feat.reshape(b_, cams, h * w, e)
+            f = f + self.cams_embeds[None, :, None, :]
+            f = f + self.level_embeds[None, None, lvl: lvl + 1, :]
+            feat_flat.append(f)
+            spatial_shapes.append((h, w))
+        value = torch.cat(feat_flat, dim=2)  # [bs, cams, K, e]
+        assert bs == 1, "replica SCA value layout assumes bs == 1"
+
+        bev_embed = self.encoder(
+            queries, value[0].reshape(cams, -1, bs, e), bev_pos,
+            lidar2img, img_shape, spatial_shapes, bev_h, bev_w,
+        )
+
+        query_pos = object_query_embed[:, :e].unsqueeze(0).repeat(bs, 1, 1)
+        query = object_query_embed[:, e:].unsqueeze(0).repeat(bs, 1, 1)
+        reference_points = self.reference_points(query_pos).sigmoid()
+        init_ref = reference_points
+        hs, inter_refs = self.decoder(
+            query, bev_embed, query_pos, reference_points, (bev_h, bev_w),
+            reg_branches,
+        )
+        return bev_embed, hs, init_ref, inter_refs
+
+
+class _ConvModule(nn.Module):
+    """mmcv ConvModule (conv-only): parameters live at `.conv`."""
+
+    def __init__(self, *a, **k):
+        super().__init__()
+        self.conv = nn.Conv2d(*a, **k)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class FPNRef(FPN):
+    """FPN whose conv parameters nest under `.conv` like mmcv ConvModule
+    (reference keys `img_neck.lateral_convs.N.conv.weight`)."""
+
+    def __init__(self, in_channels, out_channels=256, num_outs=4):
+        nn.Module.__init__(self)
+        self.num_outs = num_outs
+        self.lateral_convs = nn.ModuleList(
+            [_ConvModule(c, out_channels, 1) for c in in_channels]
+        )
+        self.fpn_convs = nn.ModuleList(
+            [_ConvModule(out_channels, out_channels, 3, padding=1)
+             for _ in in_channels]
+        )
+        for _ in range(num_outs - len(in_channels)):
+            self.fpn_convs.append(
+                _ConvModule(out_channels, out_channels, 3, stride=2,
+                            padding=1)
+            )
+
+
+class BEVFormerHead(nn.Module):
+    """`dense_heads/bevformer_head.py:17-203` eval forward."""
+
+    def __init__(self, cfg, num_levels):
+        super().__init__()
+        e = cfg.embed_dims
+        self.cfg = cfg
+        self.bev_embedding = nn.Embedding(cfg.bev_h * cfg.bev_w, e)
+        self.query_embedding = nn.Embedding(cfg.num_query, 2 * e)
+        self.positional_encoding = LearnedPositionalEncoding(
+            e // 2, cfg.bev_h, cfg.bev_w
+        )
+        self.cls_branches = nn.ModuleList([
+            cls_branch(e, cfg.num_classes, cfg.num_reg_fcs)
+            for _ in range(cfg.decoder_layers)
+        ])
+        self.reg_branches = nn.ModuleList([
+            reg_branch(e, cfg.code_size, cfg.num_reg_fcs)
+            for _ in range(cfg.decoder_layers)
+        ])
+        self.transformer = PerceptionTransformer(
+            e, num_levels, cfg.data.num_cams, cfg.encoder_layers,
+            cfg.decoder_layers, cfg.num_heads, cfg.feedforward_channels,
+            cfg.sca_num_points, cfg.tsa_num_points, cfg.pc_range,
+        )
+
+    def forward(self, mlvl_feats, can_bus, lidar2img, img_shape):
+        c = self.cfg
+        bs = mlvl_feats[0].shape[0]
+        bev_pos = self.positional_encoding(bs)
+        bev_embed, hs, init_ref, inter_refs = self.transformer(
+            mlvl_feats, self.bev_embedding.weight,
+            self.query_embedding.weight, bev_pos, c.bev_h, c.bev_w,
+            can_bus, lidar2img, img_shape, self.reg_branches,
+        )
+        x0, y0, z0, x1, y1, z1 = c.pc_range
+        out_cls, out_coord = [], []
+        for lvl in range(hs.shape[0]):
+            ref = init_ref if lvl == 0 else inter_refs[lvl - 1]
+            ref = inverse_sigmoid(ref)
+            oc = self.cls_branches[lvl](hs[lvl])
+            tmp = self.reg_branches[lvl](hs[lvl])
+            xy = (tmp[..., 0:2] + ref[..., 0:2]).sigmoid()
+            z = (tmp[..., 4:5] + ref[..., 2:3]).sigmoid()
+            cx = xy[..., 0:1] * (x1 - x0) + x0
+            cy = xy[..., 1:2] * (y1 - y0) + y0
+            cz = z * (z1 - z0) + z0
+            coord = torch.cat([cx, cy, tmp[..., 2:4], cz, tmp[..., 5:]], -1)
+            out_cls.append(oc)
+            out_coord.append(coord)
+        return bev_embed, torch.stack(out_cls), torch.stack(out_coord)
+
+
+class BEVFormerDetector(nn.Module):
+    """`detectors/bevformer.py` eval path (grid mask off, first frame)."""
+
+    def __init__(self, cfg, blocks):
+        super().__init__()
+        self.cfg = cfg
+        self.img_backbone = ResNet(
+            blocks, out_indices=cfg.backbone_out_indices
+        )
+        self.img_neck = FPNRef(
+            cfg.neck_in_channels, cfg.embed_dims, cfg.num_feature_levels
+        )
+        self.pts_bbox_head = BEVFormerHead(cfg, cfg.num_feature_levels)
+
+    def forward(self, images, can_bus, lidar2img):
+        c = self.cfg
+        bs, cams, h, w, _ = images.shape
+        x = images.reshape(bs * cams, h, w, 3).permute(0, 3, 1, 2)
+        feats = self.img_neck(self.img_backbone(x))
+        mlvl = [
+            f.permute(0, 2, 3, 1).reshape(bs, cams, f.shape[2], f.shape[3],
+                                          f.shape[1])
+            for f in feats
+        ]
+        return self.pts_bbox_head(
+            mlvl, can_bus, lidar2img, c.data.img_size
+        )

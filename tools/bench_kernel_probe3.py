@@ -68,6 +68,12 @@ def make_kernel(mode):
                        preferred_element_type=jnp.float32)
         base = (j * STRIDE).astype(jnp.float32)
 
+        if mode == "noop":
+            return acc + pay[0:1] * 0.0 + vv[0:1, :1] * 0.0
+        if mode == "colonly":
+            return acc + wcol.astype(jnp.float32)[:d] * 0.0 + wcol.astype(jnp.float32)[:d]
+        if mode == "colmat":
+            return acc + tmat[:d]
         if mode in ("acc2", "acc4"):
             nacc = 2 if mode == "acc2" else 4
             accs = [jnp.zeros((d, ct), jnp.float32) for _ in range(nacc)]
@@ -174,5 +180,5 @@ def timed(mode, reps=4):
 
 
 if __name__ == "__main__":
-    for m in sys.argv[1:] or ["full", "acc2", "acc4", "rmat", "packrows"]:
+    for m in sys.argv[1:] or ["full", "noop", "colonly", "colmat"]:
         timed(m)

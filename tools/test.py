@@ -34,6 +34,23 @@ def parse_args():
         help="evaluate only boxes in camera-overlap regions "
         "(NuScenesEval_custom overlap_test mode)",
     )
+    p.add_argument(
+        "--parity", action="store_true",
+        help="bit-parity mode: disable every fused/approximate path "
+        "(fused_msda/fused_dcn off, exact XLA sampling) for checkpoint "
+        "parity runs; slower but unconditionally exact",
+    )
+    p.add_argument(
+        "--audit-interval", type=int, default=100,
+        help="run the fused-path exactness audits (window drop mass, SCA "
+        "capacity clipping) on the first frame and every N frames; 0 "
+        "disables",
+    )
+    p.add_argument(
+        "--no-fused-guard", action="store_true",
+        help="do not auto-widen fused halos/capacity when the first-frame "
+        "audit reports lost attention mass",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -59,6 +76,11 @@ def main():
         cfg = apply_overrides(
             cfg, dict(kv.split("=", 1) for kv in args.cfg_options)
         )
+    if args.parity:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_msda="off", fused_dcn="off")
+        print("parity mode: fused kernels off (exact XLA sampling paths)")
 
     ds = NuScenesTemporalDataset(
         os.path.join(args.data_root, "nuscenes_infos_temporal_val.pkl"),
@@ -94,9 +116,31 @@ def main():
             jnp.zeros((1,), bool),
         )
 
-    evaluator = VideoEvaluator(model, params)
+    from bevformer_tpu.kernels.msda_pallas import resolve_impl
+
+    fused_on = resolve_impl(cfg.fused_msda) != "off"
+    evaluator = VideoEvaluator(
+        model, params,
+        audit_interval=args.audit_interval if fused_on else 0,
+        fused_guard=fused_on and not args.no_fused_guard,
+    )
     n = len(ds) if args.max_samples is None else min(len(ds), args.max_samples)
     results = evaluator.run(ds, indices=range(n))
+    if evaluator.audit_log:
+        import json as _json
+
+        worst = max(r["drop_frac"] for r in evaluator.audit_log)
+        clipped = max(r["capacity_clipped"] for r in evaluator.audit_log)
+        print(
+            "fused-path audit: frames="
+            f"{len(evaluator.audit_log)} worst_drop_frac={worst:.3e} "
+            f"max_capacity_clipped={clipped}"
+        )
+        if args.out:
+            with open(
+                os.path.splitext(args.out)[0] + "_fused_audit.json", "w"
+            ) as f:
+                _json.dump(evaluator.audit_log, f, indent=1)
 
     if args.out:
         serial = [

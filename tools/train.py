@@ -43,6 +43,13 @@ def parse_args():
         "(the reference GradChecker hook)",
     )
     p.add_argument(
+        "--fused-audit-interval", type=int, default=500,
+        help="every N steps, run the fused-path exactness audit (window "
+        "drop mass / SCA capacity clipping) on the current batch's last "
+        "frame and log it — catches learned offsets drifting past the "
+        "kernel halos during training; 0 disables",
+    )
+    p.add_argument(
         "--cfg-options", nargs="*", default=[], help="key=val config overrides"
     )
     return p.parse_args()
@@ -162,12 +169,53 @@ def main():
             print(f"resumed from step {int(state.step)}")
         step_fn = train.make_train_step(model, tx, check_grads=args.check_grads)
 
+        audit_fn = None
+        from bevformer_tpu.kernels.msda_pallas import resolve_impl as _ri
+
+        if args.fused_audit_interval and _ri(cfg.fused_msda) != "off":
+            import dataclasses as _dc
+
+            from bevformer_tpu.runtime.eval import collect_fused_audit
+
+            audit_model = BEVFormer(cfg=_dc.replace(cfg, fused_audit=True))
+
+            @jax.jit
+            def audit_fn(params, batch):
+                # audit the LAST frame's forward with the current weights —
+                # catches sampling offsets drifting past the kernel halos
+                bs = batch.images.shape[0]
+                prev = jnp.zeros(
+                    (bs, cfg.bev_h * cfg.bev_w, cfg.embed_dims), jnp.float32
+                )
+                _, mut = audit_model.apply(
+                    params, batch.images[:, -1], batch.can_bus[:, -1],
+                    batch.lidar2img[:, -1], prev,
+                    jnp.zeros((bs,), bool), mutable=["intermediates"],
+                )
+                return collect_fused_audit(mut["intermediates"])
+
         log_path = os.path.join(work_dir, "train_log.jsonl")
         t_start = time.time()
         start_step = int(state.step)
         for step in range(start_step, total_steps):
             batch = mesh_lib.shard_batch(mesh, collect_batch(step))
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+            if audit_fn is not None and step % args.fused_audit_interval == 0:
+                drop, tot, clipped = audit_fn(state.params, batch)
+                rec = {
+                    "fused_audit_step": step,
+                    "drop_frac": float(drop) / max(float(tot), 1.0),
+                    "capacity_clipped": int(clipped),
+                }
+                if rec["drop_frac"] > 1e-6 or rec["capacity_clipped"] > 0:
+                    print(
+                        f"[fused-audit] WARNING: offsets exceed kernel "
+                        f"windows: {rec} — raise cfg.sca_fused_halo/"
+                        f"tsa_fused_halo or sca_capacity_ratio",
+                        flush=True,
+                    )
+                elif step == start_step:
+                    print(json.dumps(rec))
             ppn = metrics.pop("per_param_grad_norm", None)
             if ppn is not None and step == start_step:
                 unused = train.unused_param_report(
