@@ -136,8 +136,12 @@ class BEVFormerConfig:
     # fused_msda ('auto' -> bf16 on TPU, XLA gather path elsewhere)
     fused_dcn: str = "auto"
     # vertical-offset clip radius of the fused DCN kernel (feature pixels);
-    # horizontal offsets are exact. Only used when the fused path is active.
-    dcn_clip_y: float = 6.0
+    # horizontal offsets are exact. Only used when the fused path is
+    # active. 3.0 at 1/8..1/32 feature resolution spans +-24..96 input
+    # pixels — beyond typical trained DCN offsets; the backbone sows a
+    # clip-mass audit (fused_audit) and the evaluator guard raises this
+    # (+3 per widening) if a converted checkpoint exceeds it.
+    dcn_clip_y: float = 3.0
     # fused-kernel row-window halos per call site (None = module defaults:
     # SCA 13 / TSA 6 / decoder 40). The evaluator fused-path guard widens
     # them when window_drop_mass reports loss on real inputs.

@@ -36,6 +36,7 @@ class BEVFormerV2(nn.Module):
             dcn_stages=c.backbone_dcn_stages,
             dcn_impl=_dcn_resolve(c.fused_dcn),
             dcn_clip_y=c.dcn_clip_y,
+            dcn_audit=c.fused_audit,
             style=c.backbone_style,
             norm=c.backbone_norm,
             use_remat=c.use_remat,

@@ -102,6 +102,9 @@ class ModulatedDeformConv(nn.Module):
     shift_radius: int = 0
     impl: str = "off"  # 'off' (XLA gather) | 'fp32' | 'bf16' (Pallas)
     clip_y: float = 6.0
+    # sow the modulation mass whose vertical offset exceeds clip_y (the
+    # fused kernel's only approximation; reference DCNv2 is unbounded)
+    audit: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,6 +126,10 @@ class ModulatedDeformConv(nn.Module):
         offs = om[..., : 2 * k * k].reshape(b, oh, ow, k * k, 2)
         off_y, off_x = offs[..., 0], offs[..., 1]
         mask = jax.nn.sigmoid(om[..., 2 * k * k :])  # [b, oh, ow, 9]
+        if self.audit and self.impl in ("fp32", "bf16"):
+            over = (jnp.abs(off_y) > self.clip_y).astype(jnp.float32)
+            self.sow("intermediates", "dcn_clip_mass", (mask * over).sum())
+            self.sow("intermediates", "dcn_total_mass", mask.sum())
 
         weight = self.param(
             "kernel",
@@ -271,6 +278,7 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False
     dcn_impl: str = "off"
     dcn_clip_y: float = 6.0
+    dcn_audit: bool = False
     style: str = "pytorch"  # 'pytorch': stride in 3x3; 'caffe': stride in 1x1
     norm: str = "frozen"
     dtype: jnp.dtype = jnp.float32
@@ -295,7 +303,8 @@ class Bottleneck(nn.Module):
         if self.use_dcn:
             out = ModulatedDeformConv(
                 self.planes, stride=s2, impl=self.dcn_impl,
-                clip_y=self.dcn_clip_y, dtype=self.dtype, name="conv2"
+                clip_y=self.dcn_clip_y, audit=self.dcn_audit,
+                dtype=self.dtype, name="conv2"
             )(out)
         else:
             out = nn.Conv(
@@ -341,6 +350,7 @@ class _BlockScanBody(nn.Module):
     use_dcn: bool
     dcn_impl: str
     dcn_clip_y: float
+    dcn_audit: bool
     style: str
     norm: str
     train: bool
@@ -355,6 +365,7 @@ class _BlockScanBody(nn.Module):
             use_dcn=self.use_dcn,
             dcn_impl=self.dcn_impl,
             dcn_clip_y=self.dcn_clip_y,
+            dcn_audit=self.dcn_audit,
             style=self.style,
             norm=self.norm,
             dtype=self.dtype,
@@ -377,6 +388,7 @@ class ResNet(nn.Module):
     dcn_stages: Tuple[int, ...] = ()  # e.g. (2, 3) for R101-DCN
     dcn_impl: str = "off"  # 'off' (XLA gather) | 'fp32' | 'bf16' (Pallas)
     dcn_clip_y: float = 6.0
+    dcn_audit: bool = False
     style: str = "pytorch"
     norm: str = "frozen"  # 'frozen' (v1: norm_eval + no grad) | 'bn' (v2)
     # gradient-checkpoint each scanned block: without it the scan saves
@@ -423,6 +435,7 @@ class ResNet(nn.Module):
                 use_dcn=use_dcn,
                 dcn_impl=self.dcn_impl,
                 dcn_clip_y=self.dcn_clip_y,
+                dcn_audit=self.dcn_audit,
                 style=self.style,
                 norm=self.norm,
                 dtype=self.dtype,
@@ -434,7 +447,8 @@ class ResNet(nn.Module):
                     body = nn.remat(_BlockScanBody, prevent_cse=False)
                 scanned = nn.scan(
                     body,
-                    variable_axes={"params": 0, "batch_stats": 0},
+                    variable_axes={"params": 0, "batch_stats": 0,
+                                   "intermediates": 0},
                     split_rngs={"params": True},
                     length=num_blocks - 1,
                 )(
@@ -442,6 +456,7 @@ class ResNet(nn.Module):
                     use_dcn=use_dcn,
                     dcn_impl=self.dcn_impl,
                     dcn_clip_y=self.dcn_clip_y,
+                    dcn_audit=self.dcn_audit,
                     style=self.style,
                     norm=self.norm,
                     train=train,

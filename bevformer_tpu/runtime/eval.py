@@ -31,9 +31,9 @@ def collect_fused_audit(intermediates):
     clipped = jnp.int32(0)
     for path, leaf in jax.tree_util.tree_flatten_with_path(intermediates)[0]:
         name = str(path[-2].key)
-        if name == "msda_drop_mass":
+        if name in ("msda_drop_mass", "dcn_clip_mass"):
             drop = drop + jnp.sum(leaf)
-        elif name == "msda_total_mass":
+        elif name in ("msda_total_mass", "dcn_total_mass"):
             total = total + jnp.sum(leaf)
         elif name == "sca_capacity_clipped":
             clipped = clipped + jnp.sum(leaf)
@@ -132,10 +132,14 @@ class VideoEvaluator:
             c = self.cfg
             updates = {}
             if bad_drop:
+                # the drop scalar folds every fused approximation (msda
+                # windows + DCN vertical clip); widen all of them — over-
+                # widening only costs speed, never accuracy
                 updates.update(
                     sca_fused_halo=(c.sca_fused_halo or 13) + 8,
                     tsa_fused_halo=(c.tsa_fused_halo or 6) + 8,
                     dec_fused_halo=(c.dec_fused_halo or 40) + 16,
+                    dcn_clip_y=c.dcn_clip_y + 3.0,
                 )
             if bad_cap:
                 updates.update(

@@ -68,10 +68,34 @@ def make_kernel(mode):
                        preferred_element_type=jnp.float32)
         base = (j * STRIDE).astype(jnp.float32)
 
+        if mode in ("hat", "hatbf16"):
+            # bilinear col weights as ARITHMETIC hat fn: aw*relu(1-|c-x|)
+            # instead of two compare-selects. x = x0 + tx reconstructed
+            # from the payload (wx1 = aw*tx*vx1 — probe-only approximation
+            # of a dedicated 3-channel payload; real impl ships (x, aw)).
+            dt = jnp.bfloat16 if mode == "hatbf16" else jnp.float32
+            ciof = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0).astype(dt)
+            xf = (x0 + wx1).astype(dt)  # stand-in continuous x
+            awf = (wx0 + wx1).astype(dt)  # stand-in attention weight
+            wcol2 = jnp.maximum(
+                awf - awf * jnp.abs(ciof - xf), jnp.asarray(0, dt)
+            ).astype(jnp.bfloat16)
+            tmat2 = jnp.dot(vv.astype(jnp.bfloat16), wcol2,
+                            preferred_element_type=jnp.float32)
+            rio = jax.lax.broadcasted_iota(jnp.int32, (WROWS, ct), 0)
+            yrel = jnp.broadcast_to((y0 - base), (1, ct)).astype(jnp.int32)
+            rmat = (jnp.where(rio == yrel, jnp.broadcast_to(wy0, (1, ct)), 0.0)
+                    + jnp.where(rio == yrel + 1,
+                                jnp.broadcast_to(wy1, (1, ct)), 0.0))
+            for r in range(WROWS):
+                acc = acc + rmat[r:r + 1] * tmat2[r * d:(r + 1) * d]
+            return acc
         if mode == "noop":
-            return acc + pay[0:1] * 0.0 + vv[0:1, :1] * 0.0
+            # touch both refs without real work (single-axis broadcasts
+            # only — Mosaic lacks 2-axis broadcast)
+            return acc + (pay[0:1] * 0.0) + (vv[0:1] * 0.0)[:, :ct]
         if mode == "colonly":
-            return acc + wcol.astype(jnp.float32)[:d] * 0.0 + wcol.astype(jnp.float32)[:d]
+            return acc + wcol.astype(jnp.float32)[:d]
         if mode == "colmat":
             return acc + tmat[:d]
         if mode in ("acc2", "acc4"):
