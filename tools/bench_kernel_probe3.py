@@ -31,8 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bevformer_tpu.kernels import msda_pallas as mp
 
-b, q, nz, h, l, ppa, d = 6, 16000, 4, 8, 4, 2, 32
-SHAPES = ((116, 200), (58, 100), (29, 50), (15, 25))
+if os.environ.get("TSA"):
+    # TemporalSelfAttention shapes: 1 level (the 200x200 BEV), p=4,
+    # bh = bs*nq*h = 16, n = 160000 items
+    b, q, nz, h, l, ppa, d = 2, 40000, 1, 8, 1, 4, 32
+    SHAPES = ((200, 200),)
+else:
+    b, q, nz, h, l, ppa, d = 6, 16000, 4, 8, 4, 2, 32
+    SHAPES = ((116, 200), (58, 100), (29, 50), (15, 25))
 k = sum(a * c for a, c in SHAPES)
 bh = b * h
 STRIDE = int(os.environ.get("STRIDE", "4"))
@@ -49,7 +55,7 @@ base_y = (jnp.arange(q * nz) + 0.5) / (q * nz)
 spread = max(HALO - 3, 1)
 loc_s = loc_s.at[..., 1].set(
     base_y[None, :, None, None, None]
-    + (loc_s[..., 1] - 0.5) * (2.0 * spread / 116)
+    + (loc_s[..., 1] - 0.5) * (2.0 * spread / SHAPES[0][0])
 )
 w_s = jnp.array(rng.rand(b, q * nz, h, l, ppa), jnp.float32)
 
@@ -93,7 +99,8 @@ def make_kernel(mode):
         if mode == "noop":
             # touch both refs without real work (single-axis broadcasts
             # only — Mosaic lacks 2-axis broadcast)
-            return acc + (pay[0:1] * 0.0) + (vv[0:1] * 0.0)[:, :ct]
+            vtouch = jnp.broadcast_to(vv[0:1, :1], (1, ct)) * 0.0
+            return acc + (pay[0:1] * 0.0) + vtouch
         if mode == "colonly":
             return acc + wcol.astype(jnp.float32)[:d]
         if mode == "colmat":
@@ -144,6 +151,88 @@ def make_kernel(mode):
     return kern
 
 
+def make_kernel_tiled(mode):
+    def kern(jrow_ref, pay_ref, *refs):
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        val_refs = refs[:l]
+        out_ref = refs[l]
+        acc = jnp.zeros((d, CT), jnp.float32)
+        km = make_kernel(mode)
+        # reuse _accum via a small shim: pay_ref block is [1, 1, L*8, ct]
+        for lvl in range(l):
+            pay = pay_ref[0, 0, lvl * 8:(lvl + 1) * 8, :]
+            x0 = pay[0:1]; wx0 = pay[1:2]; wx1 = pay[2:3]
+            y0 = pay[3:4]; wy0 = pay[4:5]; wy1 = pay[5:6]
+            vv = val_refs[lvl][0, 0]
+            wwp = vv.shape[-1]
+            ct = pay.shape[-1]
+            cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
+            xi = x0.astype(jnp.int32)
+            wcol = (jnp.where(cio == xi, wx0, 0.0)
+                    + jnp.where(cio == xi + 1, wx1, 0.0)).astype(jnp.bfloat16)
+            tmat = jnp.dot(vv.astype(jnp.bfloat16), wcol,
+                           preferred_element_type=jnp.float32)
+            base = (jrow_ref[lvl, i, t] * STRIDE).astype(jnp.float32)
+            if mode == "tilednoop":
+                vtouch = jnp.broadcast_to(vv[0:1, :1], (1, ct)) * 0.0
+                acc = acc + (pay[0:1] * 0.0) + vtouch
+                continue
+            for r in range(WROWS):
+                fr = base + float(r)
+                wr = (jnp.where(y0 == fr, wy0, 0.0)
+                      + jnp.where(y0 == fr - 1.0, wy1, 0.0))
+                acc = acc + wr * tmat[r * d:(r + 1) * d]
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def run_tiled(value, loc, attw, mode):
+    wv = mp.prepare_window_values(
+        value, SHAPES, stride=STRIDE, halo=HALO, compute_dtype=jnp.bfloat16)
+    n = q * nz * ppa
+    n_pad = mp._round_up(n, CT)
+    nt = n_pad // CT
+    rm = WROWS * d
+    locf = loc.astype(jnp.float32).transpose(0, 2, 1, 4, 3, 5).reshape(
+        bh, n, l, 2)
+    attf = attw.astype(jnp.float32).transpose(0, 2, 1, 4, 3).reshape(
+        bh, n, l)
+    if n_pad != n:
+        locf = jnp.pad(locf, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)),
+                       mode="edge")
+        attf = jnp.pad(attf, ((0, 0), (0, n_pad - n), (0, 0)))
+    payloads, jrows = [], []
+    for lvl, (hh, ww) in enumerate(SHAPES):
+        nw = mp._n_windows(hh, STRIDE)
+        payload, y0i = mp._payload_level(locf[:, :, lvl], attf[:, :, lvl],
+                                         hh, ww)
+        payloads.append(payload)
+        jrows.append(mp._tile_windows(y0i, nt, CT, STRIDE, WROWS, nw))
+    jrow = jnp.stack(jrows, axis=0)
+    pay = jnp.stack(payloads, axis=1)  # [bh, L, 8, n_pad]
+    # CONTIGUOUS per-tile payload: [bh, nt, L*8, ct]
+    pay_t = pay.reshape(bh, l * 8, nt, CT).transpose(0, 2, 1, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nt),
+        in_specs=[pl.BlockSpec((1, 1, l * 8, CT),
+                               lambda i, t, jr: (i, t, 0, 0))]
+        + [pl.BlockSpec((1, 1, rm, mp._round_up(ww, 128)),
+                        (lambda lvl: lambda i, t, jr:
+                         (i, jr[lvl, i, t], 0, 0))(lvl))
+           for lvl, (hh, ww) in enumerate(SHAPES)],
+        out_specs=pl.BlockSpec((1, 1, d, CT), lambda i, t, jr: (i, t, 0, 0)),
+    )
+    return pl.pallas_call(
+        make_kernel_tiled(mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, nt, d, CT), jnp.bfloat16),
+    )(jrow, pay_t, *wv)
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def run(value, loc, attw, mode):
     wv = mp.prepare_window_values(
@@ -188,9 +277,10 @@ def run(value, loc, attw, mode):
 
 
 def timed(mode, reps=4):
+    runner = run_tiled if mode.startswith("tiled") else run
     def chained(v, ls, ws):
         def body(c, _):
-            o = run(v + c * 1e-9, ls, ws, mode)
+            o = runner(v + c * 1e-9, ls, ws, mode)
             return c + o.astype(jnp.float32).ravel()[0] * 1e-20, None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
         return c
