@@ -211,9 +211,14 @@ def run_tiled(value, loc, attw, mode):
         payloads.append(payload)
         jrows.append(mp._tile_windows(y0i, nt, CT, STRIDE, WROWS, nw))
     jrow = jnp.stack(jrows, axis=0)
-    pay = jnp.stack(payloads, axis=1)  # [bh, L, 8, n_pad]
-    # CONTIGUOUS per-tile payload: [bh, nt, L*8, ct]
-    pay_t = pay.reshape(bh, l * 8, nt, CT).transpose(0, 2, 1, 3)
+    # NATIVELY build the payload in the contiguous per-tile layout
+    # [bh, nt, L*8, ct]: each channel is an elementwise map of loc viewed
+    # as [bh, nt, ct] — contiguous reads AND writes, no transpose
+    chans = []
+    for payload in payloads:  # [bh, 8, n_pad] stacks of channels
+        for c in range(8):
+            chans.append(payload[:, c].reshape(bh, nt, CT))
+    pay_t = jnp.stack(chans, axis=2)  # [bh, nt, L*8, ct]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
