@@ -1,0 +1,846 @@
+"""Heads-inner fused Pallas TPU kernel for multi-scale deformable attention
+(round-3 redesign of `kernels/msda_pallas.py`; same contract as the
+reference CUDA `ms_deform_attn_forward`,
+`multi_scale_deformable_attn_function.py:15-124`).
+
+Why a redesign: probe decomposition at base SCA scale
+(tools/bench_kernel_probe3.py, BENCH_NOTES round 3) split the v2 kernel's
+64 ms as ~26 ms XLA PREP — the [b,q,h,l,p,2] -> [b*h, n, l, 2] 6D
+transposes that move the head axis into the batch (tiny-minor-dim
+relayouts) — plus ~9 ms payload DMA, ~7 ms window DMA, ~20 ms matmul; the
+in-kernel wcol build and row-combine are fully hidden. The head move is
+unavoidable for a (b*h, tiles) grid, so v3 uses a (b, tiles) grid with all
+heads INSIDE a step:
+
+  * Items are POINT-MAJOR: item i = p * q_pad + q (a tile is ct
+    consecutive sorted queries of ONE point stream). With the caller
+    emitting offset/weight channels in (level, head, point) order (free
+    via Dense param-column permutation), every payload channel is an
+    elementwise map of one ROW of the 2D-transposed flat activations —
+    ONE clean [n, C] -> [C, n] transpose (big minors, full-bandwidth)
+    replaces the 6D relayout, and channels stack contiguously into
+    per-tile payload blocks [b, nt, L*H*6, ct] in the compute dtype
+    (bf16-exact: column/row indices < 256).
+  * Point-major also kills the in-kernel point-sum: the per-query sum
+    over p happens as a dense reshape-sum on the output (no slot-lane
+    padding, no iota matmul) and the backward's per-query cotangent is a
+    contiguous block per tile.
+  * Window-value blocks are HEAD-MAJOR [b, nw, h, wrows*d, wwp_l]; each
+    (level, head) matmul slices one contiguous [wrows*d, wwp] panel —
+    same MXU work as v2, 8x fewer grid steps/block-fetch latencies. The
+    per-tile window is SHARED across heads, so the halo must cover the
+    all-heads row spread (one point stream's offsets are near-constant
+    per head at grid init; audit with `window_drop_mass_hi`).
+  * Bilinear factorization, out-of-window drop semantics and the
+    scatter-free design are v2's; v2's oracle tests pin v3 too
+    (tests/test_msda_hi.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevformer_tpu.kernels.msda import _level_bounds
+from bevformer_tpu.kernels.msda_pallas import (
+    _n_windows,
+    _round_up,
+    _tile_windows,
+)
+
+LANE = 128
+NCH = 6  # payload channels per (level, head): x0, wx0, wx1, y0, wy0, wy1
+
+
+def prepare_window_values_hi(
+    value: jnp.ndarray,  # [B, K, H*D] (flat) or [B, K, H, D]
+    spatial_shapes,
+    *,
+    heads: Optional[int] = None,
+    stride: int = 4,
+    halo: int = 13,
+    compute_dtype=jnp.bfloat16,
+):
+    """Per-level HEAD-MAJOR overlapping row-window blocks
+    [B, nw, H, wrows*D, WWp]; window j holds image rows
+    [j*stride, j*stride + stride + halo] (zero-padded past the image)."""
+    if value.ndim == 4:
+        b, k, h, d = value.shape
+        val = value
+    else:
+        b, k, hd = value.shape
+        h = heads
+        d = hd // h
+        val = value.reshape(b, k, h, d)
+    starts, sizes, total = _level_bounds(spatial_shapes)
+    assert total == k
+    wrows = stride + halo + 1
+    out = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        wwp = _round_up(ww, LANE)
+        img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 1)
+        img = img.reshape(b, hh, ww, h, d)
+        img = jnp.pad(
+            img,
+            ((0, 0), (0, (nw - 1) * stride + wrows - hh), (0, wwp - ww),
+             (0, 0), (0, 0)),
+        )
+        wins = jnp.stack(
+            [img[:, j * stride: j * stride + wrows] for j in range(nw)],
+            axis=1,
+        )  # [b, nw, wrows, wwp, h, d]
+        wins = wins.transpose(0, 1, 4, 2, 5, 3)  # [b, nw, h, wrows, d, wwp]
+        out.append(
+            wins.reshape(b, nw, h, wrows * d, wwp).astype(compute_dtype)
+        )
+    return out
+
+
+def _kernel_hi(wrows, d, h, stride, n_levels, ct, ntq, compute_dtype,
+               jrow_ref, pay_ref, *refs):
+    """One (batch, item-tile) step: ALL levels and heads fused.
+
+    pay_ref: [1, 1, L*H*NCH, ct]; per (level, head): (x0, wx0, wx1, y0,
+             wy0, wy1) — indices exact integers (< 256, bf16-exact), y0
+             the GLOBAL image row.
+    refs:    L window-block refs [1, 1, H, wrows*D, WWp_l] + out_ref
+             [1, 1, H*D, ct] (per-ITEM outputs; the per-query point sum
+             is a dense reshape-sum outside)."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    val_refs = refs[:n_levels * h]
+    out_ref = refs[n_levels * h]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    for hd_i in range(h):
+        acc = jnp.zeros((d, ct), jnp.float32)
+        for lvl in range(n_levels):
+            c0 = (lvl * h + hd_i) * NCH
+            pay = pay_ref[0, 0, c0: c0 + NCH, :].astype(jnp.float32)
+            x0 = pay[0:1]
+            wx0 = pay[1:2]
+            wx1 = pay[2:3]
+            y0 = pay[3:4]
+            wy0 = pay[4:5]
+            wy1 = pay[5:6]
+            val = val_refs[lvl * h + hd_i][0, 0, 0]  # [wrows*d, wwp]
+            wwp = val.shape[-1]
+            cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
+            xi = x0.astype(jnp.int32)
+            wcol = (
+                jnp.where(cio == xi, wx0, 0.0)
+                + jnp.where(cio == xi + 1, wx1, 0.0)
+            )
+            tmat = jnp.dot(
+                val.astype(compute_dtype),
+                wcol.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [wrows*d, ct]
+            base = (
+                jrow_ref[lvl * h + hd_i, i, t - (t // ntq) * ntq] * stride
+            ).astype(jnp.float32)
+            for r in range(wrows):
+                fr = base + float(r)
+                wr = (
+                    jnp.where(y0 == fr, wy0, 0.0)
+                    + jnp.where(y0 == fr - 1.0, wy1, 0.0)
+                )
+                acc = acc + wr * tmat[r * d: (r + 1) * d]
+        out_ref[0, 0, hd_i * d: (hd_i + 1) * d, :] = acc.astype(
+            out_ref.dtype
+        )
+
+
+def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
+             h, p, ct, stride, wrows, compute_dtype):
+    """Transpose-light payload prep shared by forward and backward.
+
+    Returns (pay [b, nt, L*H*NCH, ct], jrow [L, b, nt], q_pad, nt)."""
+    b, qn, _ = sampling_locations.shape
+    l = len(spatial_shapes)
+    assert ct % 1 == 0
+    ntq = -(-qn // ct)
+    q_pad = ntq * ct
+    nt = p * ntq
+
+    # ONE clean 2D transpose each (minor dims are both large)
+    locT = jnp.swapaxes(sampling_locations.astype(jnp.float32), 1, 2)
+    awT = jnp.swapaxes(attention_weights.astype(jnp.float32), 1, 2)
+    if q_pad != qn:
+        locT = jnp.pad(locT, ((0, 0), (0, 0), (0, q_pad - qn)),
+                       mode="edge")
+        awT = jnp.pad(awT, ((0, 0), (0, 0), (0, q_pad - qn)))
+
+    pay_points = []
+    jrows = []
+    y0_by_level = [[] for _ in range(l)]
+    for p_i in range(p):
+        chans = []
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
+            for hd_i in range(h):
+                ci = ((lvl * h + hd_i) * p + p_i)
+                x = locT[:, ci * 2 + 0] * ww - 0.5
+                y = locT[:, ci * 2 + 1] * hh - 0.5
+                aw = awT[:, ci]
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                tx = x - x0
+                ty = y - y0
+                x0i = x0.astype(jnp.int32)
+                y0i = y0.astype(jnp.int32)
+                vx0 = (x0i >= 0) & (x0i < ww)
+                vx1 = (x0i >= -1) & (x0i < ww - 1)
+                vy0 = (y0i >= 0) & (y0i < hh)
+                vy1 = (y0i >= -1) & (y0i < hh - 1)
+                x0c = jnp.clip(x0i, -1, ww - 1).astype(jnp.float32)
+                chans.extend([
+                    x0c,
+                    aw * (1.0 - tx) * vx0,
+                    aw * tx * vx1,
+                    y0,
+                    (1.0 - ty) * vy0,
+                    ty * vy1,
+                ])
+                y0_by_level[lvl].append(y0i)  # [b, q_pad], (p, h) order
+        pay_points.append(
+            jnp.stack(chans, axis=1).reshape(b, l * h * NCH, ntq, ct)
+        )
+    # [b, p, C, ntq, ct] -> [b, p, ntq, C, ct] is a (C, ntq) axes swap of
+    # big-minor blocks; stack order keeps writes contiguous
+    pay = jnp.stack(pay_points, axis=1).transpose(0, 1, 3, 2, 4)
+    pay = pay.reshape(b, nt, l * h * NCH, ct).astype(compute_dtype)
+
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        # window per (QUERY BLOCK, HEAD), shared across the head's point
+        # streams: per-head windows keep the halo at the one-directional
+        # per-head offset spread (~8 rows at grid init) instead of the
+        # cross-head +-8 a fully shared window would need; j is monotone
+        # over query blocks per head (backward accumulation relies on it)
+        ys = jnp.stack(y0_by_level[lvl], axis=1)  # [b, p*h, q_pad]
+        ys = ys.reshape(b, p, h, ntq, ct)
+        for hd_i in range(h):
+            yh = ys[:, :, hd_i].transpose(0, 2, 1, 3)  # [b, ntq, p, ct]
+            jrows.append(
+                _tile_windows(
+                    yh.reshape(b, ntq * p * ct), ntq, p * ct, stride,
+                    wrows, nw,
+                )
+            )
+    jrow = jnp.stack(jrows, axis=0)  # [L*H, b, ntq]
+    return pay, jrow, q_pad, nt, ntq
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spatial_shapes", "heads", "points", "stride", "halo", "cap_tile",
+        "compute_dtype", "interpret",
+    ),
+)
+def _forward_hi(
+    value,  # [b, k, h*d] or [b, k, h, d]
+    spatial_shapes,
+    sampling_locations,  # [b, q', L*H*P*2] FLAT, channels (l, h, p, 2)
+    attention_weights,  # [b, q', L*H*P] FLAT, channels (l, h, p)
+    window_values=None,
+    *,
+    heads,
+    points,
+    stride=4,
+    halo=13,
+    cap_tile=512,
+    compute_dtype=jnp.float32,
+    interpret=False,
+):
+    if value.ndim == 4:
+        value = value.reshape(value.shape[0], value.shape[1], -1)
+    b, k, hd = value.shape
+    h, p = heads, points
+    d = hd // h
+    qn = sampling_locations.shape[1]
+    l = len(spatial_shapes)
+    wrows = stride + halo + 1
+    ct = cap_tile
+
+    if window_values is None:
+        window_values = prepare_window_values_hi(
+            value, spatial_shapes, heads=h, stride=stride, halo=halo,
+            compute_dtype=compute_dtype,
+        )
+
+    pay, jrow, q_pad, nt, ntq = _prep_hi(
+        sampling_locations, attention_weights, spatial_shapes,
+        h, p, ct, stride, wrows, compute_dtype,
+    )
+
+    rm = wrows * d
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, l * h * NCH, ct), lambda i, t, jr: (i, t, 0, 0)
+            )
+        ]
+        + [
+            (lambda li_, wwp_: pl.BlockSpec(
+                (1, 1, 1, rm, wwp_),
+                lambda i, t, jr, li=li_: (
+                    i, jr[li, i, t - (t // ntq) * ntq], li % h, 0, 0
+                ),
+            ))(lvl_ * h + hd_, _round_up(ww, LANE))
+            for lvl_, (hh, ww) in enumerate(spatial_shapes)
+            for hd_ in range(h)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h * d, ct), lambda i, t, jr: (i, t, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_hi, wrows, d, h, stride, l, ct, ntq, compute_dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nt, h * d, ct), compute_dtype),
+        interpret=interpret,
+    )(jrow, pay, *[
+        window_values[lvl] for lvl in range(l) for _ in range(h)
+    ])
+
+    # per-query point sum + back to [b, q', h*d]; the (h*d, ct)->(ct, h*d)
+    # swap has BOTH minors >= 128 (no tiny-minor relayout)
+    out = out.reshape(b, p, ntq, h * d, ct).sum(axis=1)
+    out = out.transpose(0, 1, 3, 2).reshape(b, q_pad, h * d)
+    return out[:, :qn].astype(value.dtype)
+
+
+def window_drop_mass_hi(
+    spatial_shapes, sampling_locations, attention_weights, *,
+    heads, points, stride=4, halo=13, cap_tile=512,
+):
+    """In-graph audit: attention mass lost to out-of-window rows for the
+    heads-inner/point-major tiling (shared per-tile window across heads).
+    Returns a [n_levels] jnp array."""
+    b, qn, _ = sampling_locations.shape
+    h, p = heads, points
+    l = len(spatial_shapes)
+    ct = cap_tile
+    wrows = stride + halo + 1
+    ntq = -(-qn // ct)
+    q_pad = ntq * ct
+    nt = p * ntq
+
+    loc = sampling_locations.astype(jnp.float32).reshape(b, qn, l, h, p, 2)
+    attw = attention_weights.astype(jnp.float32).reshape(b, qn, l, h, p)
+    if q_pad != qn:
+        loc = jnp.pad(
+            loc, ((0, 0), (0, q_pad - qn), (0, 0), (0, 0), (0, 0), (0, 0)),
+            mode="edge",
+        )
+        attw = jnp.pad(
+            attw, ((0, 0), (0, q_pad - qn), (0, 0), (0, 0), (0, 0))
+        )
+    dropped = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        y = loc[:, :, lvl, :, :, 1] * hh - 0.5  # [b, q_pad, h, p]
+        y0 = jnp.floor(y)
+        ty = y - y0
+        y0i = y0.astype(jnp.int32)
+        # per-(query block, head) windows shared across the head's point
+        # streams — same construction as _prep_hi
+        ys = y0i.reshape(b, ntq, ct, h, p).transpose(0, 3, 1, 4, 2)
+        # [b, h, ntq, p, ct]
+        jrow_h = jnp.stack([
+            _tile_windows(
+                ys[:, hd_i].reshape(b, ntq * p * ct), ntq, p * ct,
+                stride, wrows, nw,
+            )
+            for hd_i in range(h)
+        ], axis=1)  # [b, h, ntq]
+        base = (jrow_h * stride).transpose(0, 2, 1)[
+            :, None, :, :, None
+        ]  # [b, 1, ntq, h, 1]
+        y0g = y0i.reshape(b, ntq, ct, h, p).transpose(0, 4, 1, 3, 2)
+        tyg = ty.reshape(b, ntq, ct, h, p).transpose(0, 4, 1, 3, 2)
+        awg = attw[:, :, lvl].reshape(b, ntq, ct, h, p).transpose(
+            0, 4, 1, 3, 2
+        )
+        wy0 = (1.0 - tyg) * ((y0g >= 0) & (y0g < hh))
+        wy1 = tyg * ((y0g >= -1) & (y0g < hh - 1))
+        out0 = (y0g < base) | (y0g > base + wrows - 1)
+        out1 = (y0g + 1 < base) | (y0g + 1 > base + wrows - 1)
+        lost = awg * (wy0 * out0 + wy1 * out1)
+        dropped.append(lost.sum())
+    return jnp.stack(dropped)
+
+
+NCHB = 12  # backward payload channels per (point, level, head)
+
+
+def _prep_hi_bwd(sampling_locations, attention_weights, spatial_shapes,
+                 h, p, ct, stride, wrows, compute_dtype):
+    """Backward payload [b, ntq, P*L*H*NCHB, ct] (points OUTER) + the same
+    per-query-block jrow as the forward. Channels per (p, l, h):
+    (x0, wx0n, wx1n, y0, wy0, wy1, vy0, vy1, aw, vx0, vx1, 0) — forward
+    weights UNFOLDED (aw separate) plus corner validities for dLoc."""
+    b, qn, _ = sampling_locations.shape
+    l = len(spatial_shapes)
+    ntq = -(-qn // ct)
+    q_pad = ntq * ct
+
+    locT = jnp.swapaxes(sampling_locations.astype(jnp.float32), 1, 2)
+    awT = jnp.swapaxes(attention_weights.astype(jnp.float32), 1, 2)
+    if q_pad != qn:
+        locT = jnp.pad(locT, ((0, 0), (0, 0), (0, q_pad - qn)),
+                       mode="edge")
+        awT = jnp.pad(awT, ((0, 0), (0, 0), (0, q_pad - qn)))
+
+    chans = []
+    y0_by_level = [[] for _ in range(l)]
+    for p_i in range(p):
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
+            for hd_i in range(h):
+                ci = ((lvl * h + hd_i) * p + p_i)
+                x = locT[:, ci * 2 + 0] * ww - 0.5
+                y = locT[:, ci * 2 + 1] * hh - 0.5
+                aw = awT[:, ci]
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                tx = x - x0
+                ty = y - y0
+                x0i = x0.astype(jnp.int32)
+                y0i = y0.astype(jnp.int32)
+                vx0 = ((x0i >= 0) & (x0i < ww)).astype(jnp.float32)
+                vx1 = ((x0i >= -1) & (x0i < ww - 1)).astype(jnp.float32)
+                vy0 = ((y0i >= 0) & (y0i < hh)).astype(jnp.float32)
+                vy1 = ((y0i >= -1) & (y0i < hh - 1)).astype(jnp.float32)
+                x0c = jnp.clip(x0i, -1, ww - 1).astype(jnp.float32)
+                z = jnp.zeros_like(aw)
+                chans.extend([
+                    x0c,
+                    (1.0 - tx) * vx0,
+                    tx * vx1,
+                    y0,
+                    (1.0 - ty) * vy0,
+                    ty * vy1,
+                    vy0,
+                    vy1,
+                    aw,
+                    vx0,
+                    vx1,
+                    z,
+                ])
+                y0_by_level[lvl].append(y0i)
+    pay = jnp.stack(chans, axis=1).reshape(
+        b, p * l * h * NCHB, ntq, ct
+    ).transpose(0, 2, 1, 3).astype(compute_dtype)
+
+    jrows = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        ys = jnp.stack(y0_by_level[lvl], axis=1)  # [b, p*h, q_pad]
+        # bwd payload appends in (p, lvl, h) order -> y0_by_level[lvl]
+        # holds (p, h) like the forward prep
+        ys = ys.reshape(b, p, h, ntq, ct)
+        for hd_i in range(h):
+            yh = ys[:, :, hd_i].transpose(0, 2, 1, 3)
+            jrows.append(
+                _tile_windows(
+                    yh.reshape(b, ntq * p * ct), ntq, p * ct, stride,
+                    wrows, nw,
+                )
+            )
+    jrow = jnp.stack(jrows, axis=0)  # [L*H, b, ntq]
+    return pay, jrow, q_pad, ntq
+
+
+def _rowcomb_hi(tm, w0, w1, y0, base, wrows, d):
+    acc = jnp.zeros((d, tm.shape[-1]), jnp.float32)
+    for r in range(wrows):
+        fr = base + float(r)
+        wr = jnp.where(y0 == fr, w0, 0.0) + jnp.where(y0 == fr - 1.0, w1, 0.0)
+        acc = acc + wr * tm[r * d: (r + 1) * d]
+    return acc
+
+
+def _bwd_aux_kernel_hi(wrows, d, h, p, stride, n_levels, ct, compute_dtype,
+                       jrow_ref, pay_ref, g_ref, *refs):
+    """Per (b, query-block): dAttw and dLoc ingredients for every
+    (point, level, head), cotangent dot reduced in-kernel.
+
+    out_ref [1, 1, P*L*H*4, ct]: channels (dattw, dlocy_raw, dlocx_raw, 0)
+    — *_raw lack the hh/ww scale (applied by the caller); the attw factor
+    of dLoc is folded in here."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    val_refs = refs[:n_levels * h]
+    out_ref = refs[n_levels * h]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    for p_i in range(p):
+        for lvl in range(n_levels):
+            for hd_i in range(h):
+                base = (
+                    jrow_ref[lvl * h + hd_i, i, t] * stride
+                ).astype(jnp.float32)
+                c0 = ((p_i * n_levels + lvl) * h + hd_i) * NCHB
+                pay = pay_ref[0, 0, c0: c0 + NCHB, :].astype(jnp.float32)
+                x0 = pay[0:1]
+                wx0n = pay[1:2]
+                wx1n = pay[2:3]
+                y0 = pay[3:4]
+                wy0 = pay[4:5]
+                wy1 = pay[5:6]
+                vy0 = pay[6:7]
+                vy1 = pay[7:8]
+                attw = pay[8:9]
+                vx0 = pay[9:10]
+                vx1 = pay[10:11]
+                g = g_ref[0, hd_i * d: (hd_i + 1) * d, :].astype(jnp.float32)
+                val = val_refs[lvl * h + hd_i][0, 0, 0]
+                wwp = val.shape[-1]
+                cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
+                xi = x0.astype(jnp.int32)
+                wcol = (jnp.where(cio == xi, wx0n, 0.0)
+                        + jnp.where(cio == xi + 1, wx1n, 0.0))
+                tm = jnp.dot(
+                    val.astype(compute_dtype), wcol.astype(compute_dtype),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                wcol_dx = (jnp.where(cio == xi, -vx0, 0.0)
+                           + jnp.where(cio == xi + 1, vx1, 0.0))
+                tm_dx = jnp.dot(
+                    val.astype(compute_dtype),
+                    wcol_dx.astype(compute_dtype),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                s_plain = _rowcomb_hi(tm, wy0, wy1, y0, base, wrows, d)
+                dy_o = _rowcomb_hi(tm, -vy0, vy1, y0, base, wrows, d)
+                dx_o = _rowcomb_hi(tm_dx, wy0, wy1, y0, base, wrows, d)
+                dattw = (g * s_plain).sum(axis=0, keepdims=True)
+                dlocy = attw * (g * dy_o).sum(axis=0, keepdims=True)
+                dlocx = attw * (g * dx_o).sum(axis=0, keepdims=True)
+                o0 = ((p_i * n_levels + lvl) * h + hd_i) * 4
+                out_ref[0, 0, o0: o0 + 1, :] = dattw.astype(out_ref.dtype)
+                out_ref[0, 0, o0 + 1: o0 + 2, :] = dlocy.astype(out_ref.dtype)
+                out_ref[0, 0, o0 + 2: o0 + 3, :] = dlocx.astype(out_ref.dtype)
+
+
+def _bwd_dval_kernel_hi(wrows, d, h, p, stride, n_levels, ct,
+                        compute_dtype, jrow_ref, pay_ref, g_ref, *out_refs):
+    """Per (b, query-block): accumulate dValue window-gradient blocks
+    [1, 1, h, wrows*d, wwp] per level. Query blocks sharing a window index
+    (j is cummax-monotone over blocks) accumulate into the same VMEM
+    block; a fresh window overwrites. Unvisited windows stay UNDEFINED —
+    the caller masks by visited-ness."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    for lvl in range(n_levels):
+        for hd_i in range(h):
+            out_ref = out_refs[lvl * h + hd_i]
+            wwp = out_ref.shape[-1]
+            j = jrow_ref[lvl * h + hd_i, i, t]
+            base = (j * stride).astype(jnp.float32)
+            jprev = jrow_ref[lvl * h + hd_i, i, jnp.maximum(t - 1, 0)]
+            first = jnp.logical_or(t == 0, j != jprev)
+            contrib = jnp.zeros((wrows * d, wwp), jnp.float32)
+            for p_i in range(p):
+                c0 = ((p_i * n_levels + lvl) * h + hd_i) * NCHB
+                pay = pay_ref[0, 0, c0: c0 + NCHB, :].astype(jnp.float32)
+                x0 = pay[0:1]
+                wx0n = pay[1:2]
+                wx1n = pay[2:3]
+                y0 = pay[3:4]
+                wy0 = pay[4:5]
+                wy1 = pay[5:6]
+                attw = pay[8:9]
+                g = g_ref[0, hd_i * d: (hd_i + 1) * d, :].astype(jnp.float32)
+                cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
+                xi = x0.astype(jnp.int32)
+                wcol = (jnp.where(cio == xi, wx0n, 0.0)
+                        + jnp.where(cio == xi + 1, wx1n, 0.0))
+                rows = []
+                for r in range(wrows):
+                    fr = base + float(r)
+                    wr = attw * (
+                        jnp.where(y0 == fr, wy0, 0.0)
+                        + jnp.where(y0 == fr - 1.0, wy1, 0.0)
+                    )
+                    rows.append(wr * g)
+                a = jnp.concatenate(rows, axis=0)  # [wrows*d, ct]
+                contrib = contrib + jax.lax.dot_general(
+                    a.astype(compute_dtype),
+                    wcol.astype(compute_dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=(
+                        jax.lax.Precision.HIGHEST
+                        if compute_dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT
+                    ),
+                )
+
+            @pl.when(first)
+            def _(contrib=contrib, out_ref=out_ref):
+                out_ref[0, 0, 0] = contrib.astype(out_ref.dtype)
+
+            @pl.when(jnp.logical_not(first))
+            def _(contrib=contrib, out_ref=out_ref):
+                out_ref[0, 0, 0] = (
+                    out_ref[0, 0, 0] + contrib.astype(out_ref.dtype)
+                )
+
+
+def _fold_windows_hi(dwin, hh, ww, h, d, stride, wrows):
+    """[b, nw, h, wrows*d, wwp] window grads -> [b, hh*ww, h*d] image."""
+    b, nw, h_, rm, wwp = dwin.shape
+    assert rm == wrows * d and h_ == h
+    dwin = dwin.reshape(b, nw, h, wrows, d, wwp)
+    hpad = (nw - 1) * stride + wrows
+    img = jnp.zeros((b, hpad, h, d, wwp), jnp.float32)
+    for r in range(wrows):
+        img = img.at[:, r: r + (nw - 1) * stride + 1: stride].add(
+            dwin[:, :, :, r].astype(jnp.float32)
+        )
+    img = img[:, :hh, :, :, :ww]
+    return img.transpose(0, 1, 4, 2, 3).reshape(b, hh * ww, h * d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spatial_shapes", "heads", "points", "stride", "halo", "cap_tile",
+        "compute_dtype", "interpret",
+    ),
+)
+def _backward_hi(
+    value, spatial_shapes, sampling_locations, attention_weights, g, *,
+    heads, points, stride, halo, cap_tile, compute_dtype, interpret,
+):
+    """Scatter-free heads-inner backward: dValue via transposed window
+    matmuls accumulated per query-block window (monotone j, point streams
+    folded in-step), dAttw/dLoc via modified-payload passes with the
+    cotangent dot reduced in-kernel. Point-major layout makes the
+    per-query cotangent a CONTIGUOUS block per tile (no in-kernel
+    expansion matmul)."""
+    if value.ndim == 4:
+        value = value.reshape(value.shape[0], value.shape[1], -1)
+    b, k, hd = value.shape
+    h, p = heads, points
+    d = hd // h
+    qn = sampling_locations.shape[1]
+    l = len(spatial_shapes)
+    ct = cap_tile
+    wrows = stride + halo + 1
+
+    window_values = prepare_window_values_hi(
+        value, spatial_shapes, heads=h, stride=stride, halo=halo,
+        compute_dtype=compute_dtype,
+    )
+    pay, jrow, q_pad, ntq = _prep_hi_bwd(
+        sampling_locations, attention_weights, spatial_shapes,
+        h, p, ct, stride, wrows, compute_dtype,
+    )
+    # per-query cotangents, contiguous per tile: [b, h*d, q_pad]
+    gT = jnp.swapaxes(g.astype(jnp.float32), 1, 2)
+    if q_pad != qn:
+        gT = jnp.pad(gT, ((0, 0), (0, 0), (0, q_pad - qn)))
+
+    rm = wrows * d
+    nl = l
+
+    # ---- pass 1: dAttw / dLoc ----
+    aux_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ntq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, p * nl * h * NCHB, ct), lambda i, t, jr: (i, t, 0, 0)
+            ),
+            pl.BlockSpec((1, hd, ct), lambda i, t, jr: (i, 0, t)),
+        ]
+        + [
+            (lambda li_, wwp_: pl.BlockSpec(
+                (1, 1, 1, rm, wwp_),
+                lambda i, t, jr, li=li_: (i, jr[li, i, t], li % h, 0, 0),
+            ))(lvl_ * h + hd_, _round_up(ww, LANE))
+            for lvl_, (hh, ww) in enumerate(spatial_shapes)
+            for hd_ in range(h)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, p * nl * h * 4, ct), lambda i, t, jr: (i, t, 0, 0)
+        ),
+    )
+    aux = pl.pallas_call(
+        functools.partial(
+            _bwd_aux_kernel_hi, wrows, d, h, p, stride, nl, ct,
+            compute_dtype,
+        ),
+        grid_spec=aux_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, ntq, p * nl * h * 4, ct), jnp.float32
+        ),
+        interpret=interpret,
+    )(jrow, pay, gT, *[
+        window_values[lvl] for lvl in range(nl) for _ in range(h)
+    ])
+
+    # ---- pass 2: dValue window gradients ----
+    dval_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ntq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, p * nl * h * NCHB, ct), lambda i, t, jr: (i, t, 0, 0)
+            ),
+            pl.BlockSpec((1, hd, ct), lambda i, t, jr: (i, 0, t)),
+        ],
+        out_specs=[
+            (lambda li_, wwp_: pl.BlockSpec(
+                (1, 1, 1, rm, wwp_),
+                lambda i, t, jr, li=li_: (i, jr[li, i, t], 0, 0, 0),
+            ))(lvl_ * h + hd_, _round_up(ww, LANE))
+            for lvl_, (hh, ww) in enumerate(spatial_shapes)
+            for hd_ in range(h)
+        ],
+    )
+    dwin = pl.pallas_call(
+        functools.partial(
+            _bwd_dval_kernel_hi, wrows, d, h, p, stride, nl, ct,
+            compute_dtype,
+        ),
+        grid_spec=dval_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (b, _n_windows(hh, stride), 1, rm, _round_up(ww, LANE)),
+                jnp.float32,
+            )
+            for (hh, ww) in spatial_shapes
+            for _hd in range(h)
+        ],
+        interpret=interpret,
+    )(jrow, pay, gT)
+
+    # assemble dValue: mask never-visited windows per head, stack heads,
+    # fold overlaps
+    dval_parts = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        per_head = []
+        for hd_i in range(h):
+            li = lvl * h + hd_i
+            visited = jnp.any(
+                jrow[li][:, :, None] == jnp.arange(nw)[None, None, :],
+                axis=1,
+            )  # [b, nw]
+            # where(), not multiply: unvisited blocks hold garbage (NaN)
+            per_head.append(jnp.where(
+                visited[:, :, None, None, None], dwin[li], 0.0
+            ))
+        dw = jnp.concatenate(per_head, axis=2)  # [b, nw, h, rm, wwp]
+        dval_parts.append(_fold_windows_hi(dw, hh, ww, h, d, stride, wrows))
+    dvalue = jnp.concatenate(dval_parts, axis=1).astype(value.dtype)
+
+    # assemble dAttw / dLoc back to the flat (l, h, p) channel layouts
+    auxr = aux.reshape(b, ntq, p, nl, h, 4, ct)
+    # -> [b, (l, h, p) channels, q_pad]; the ct minor keeps the transpose
+    # out of tiny-minor territory
+    auxr = auxr.transpose(0, 3, 4, 2, 5, 1, 6)  # [b, L, H, P, 4, ntq, ct]
+    auxr = auxr.reshape(b, nl, h, p, 4, q_pad)
+    scale = jnp.array([[ww, hh] for hh, ww in spatial_shapes], jnp.float32)
+    dattw = jnp.swapaxes(
+        auxr[:, :, :, :, 0].reshape(b, nl * h * p, q_pad), 1, 2
+    )[:, :qn].astype(attention_weights.dtype)
+    dlocy = auxr[:, :, :, :, 1] * scale[None, :, None, None, 1, None]
+    dlocx = auxr[:, :, :, :, 2] * scale[None, :, None, None, 0, None]
+    dloc = jnp.stack([dlocx, dlocy], axis=4)  # [b, L, H, P, 2, q_pad]
+    dloc = jnp.swapaxes(
+        dloc.reshape(b, nl * h * p * 2, q_pad), 1, 2
+    )[:, :qn].astype(sampling_locations.dtype)
+    return dvalue, dloc, dattw
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7, 8, 9, 10)
+)
+def _hi_vjp(value, spatial_shapes, sampling_locations, attention_weights,
+            heads, points, stride, halo, cap_tile, compute_dtype,
+            interpret):
+    return _forward_hi(
+        value, spatial_shapes, sampling_locations, attention_weights,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+
+
+def _hi_fwd(value, spatial_shapes, loc, attw, heads, points, stride, halo,
+            cap_tile, compute_dtype, interpret):
+    out = _forward_hi(
+        value, spatial_shapes, loc, attw,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    return out, (value, loc, attw)
+
+
+def _hi_bwd(spatial_shapes, heads, points, stride, halo, cap_tile,
+            compute_dtype, interpret, res, g):
+    value, loc, attw = res
+    return _backward_hi(
+        value, spatial_shapes, loc, attw, g,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+
+
+_hi_vjp.defvjp(_hi_fwd, _hi_bwd)
+
+
+def ms_deform_attn_hi(
+    value,
+    spatial_shapes,
+    sampling_locations,  # FLAT [b, q', L*H*P*2], channels (l, h, p, 2)
+    attention_weights,  # FLAT [b, q', L*H*P]
+    *,
+    heads,
+    points,
+    stride=4,
+    halo=13,
+    cap_tile=512,
+    compute_dtype=jnp.float32,
+):
+    """Heads-inner fused windowed TPU deformable attention (see module
+    docstring). Exact (vs `ms_deform_attn_jnp`) whenever each query
+    block's sampled rows — across ALL points and heads — fit its
+    stride+halo+1-row window; audit with `window_drop_mass_hi`.
+    Differentiable (scatter-free Pallas backward). Off-TPU the kernels
+    run interpreted (tests)."""
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        interpret = True
+    if value.ndim == 4:
+        value = value.reshape(value.shape[0], value.shape[1], -1)
+    return _hi_vjp(
+        value, spatial_shapes, sampling_locations, attention_weights,
+        heads, points, stride, halo, cap_tile, compute_dtype, interpret,
+    )

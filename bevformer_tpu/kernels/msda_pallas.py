@@ -457,7 +457,7 @@ def _fold_windows(dwin, hh, ww, d, stride, wrows):
     return img.transpose(0, 1, 3, 2).reshape(bh, hh * ww, d)
 
 
-def _tile_windows(y0i, nt, ct, stride, wrows, nw):
+def _tile_windows(y0i, nt, ct, stride, wrows, nw, segments=1):
     """Per-tile window index. The window [j*stride, j*stride + wrows - 1]
     must cover rows [lo, hi+1] (both bilinear corners of every item); when
     the tile's spread fits, clamp the centered choice into the covering
@@ -480,7 +480,13 @@ def _tile_windows(y0i, nt, ct, stride, wrows, nw):
     jmin = -((wrows - 2 - hi) // stride)  # ceil((hi+2-wrows)/stride)
     jmax = jnp.floor_divide(lo, stride)
     j = jnp.clip(jnp.clip(j_ideal, jmin, jmax), 0, nw - 1)
-    j = jax.lax.cummax(j, axis=1)
+    # monotone per SEGMENT: the heads-inner kernel concatenates
+    # independent point streams along the tile axis — row order (and
+    # hence j) restarts at each stream boundary, so the cummax must too
+    bsz = j.shape[0]
+    j = jax.lax.cummax(
+        j.reshape(bsz, segments, nt // segments), axis=2
+    ).reshape(bsz, nt)
     return j.astype(jnp.int32)
 
 

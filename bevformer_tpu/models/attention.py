@@ -367,21 +367,23 @@ class MSDeformableAttention3D(nn.Module):
 
     def _fused_forward(self, query, v, reference_points, spatial_shapes,
                        mode, sort_perm, sort_inv):
-        """Fused windowed-kernel path: items = (query, z-anchor) pairs
-        sorted by projected anchor row so every kernel tile is
-        row-coherent (the anchors of ONE query span too many image rows
-        to sort at query granularity). The permutation depends only on
-        the frame-constant reference points — hot-loop callers hoist it
-        via sort_perm/sort_inv.
+        """Fused windowed-kernel path (heads-inner v3 kernel): items =
+        (query, z-anchor) rows sorted by projected anchor row so every
+        kernel tile is row-coherent (the anchors of ONE query span too
+        many image rows to sort at query granularity). The permutation
+        depends only on the frame-constant reference points — hot-loop
+        callers hoist it via sort_perm/sort_inv.
 
-        Layout strategy: the offset/weight projections are emitted
-        ANCHOR-MAJOR by permuting the Dense PARAM columns (tiny) instead
-        of transposing the activations — the XLA 7D activation transpose
-        this avoids measured ~40 ms/layer at base scale. bf16 mode
+        Layout strategy: the offset/weight projections are emitted with
+        channels in (anchor | level, head, point) order by permuting the
+        Dense PARAM columns (tiny) instead of transposing the activations
+        — exactly the flat layout the heads-inner kernel consumes with
+        NO further relayout (the v2 kernel's internal 6D head-to-batch
+        transpose measured ~26 ms/layer at base scale). bf16 mode
         additionally permutes in bf16, riding the f32 anchors through the
         same row gather as bitcast 16-bit halves (exact anchors, ~2e-4
         offset rounding)."""
-        from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
+        from bevformer_tpu.kernels.msda_hi import ms_deform_attn_hi
 
         b, q, _ = query.shape
         h, l, p = self.num_heads, self.num_levels, self.num_points
@@ -391,17 +393,19 @@ class MSDeformableAttention3D(nn.Module):
         ppa = p // nz
         nch = h * l * ppa  # weight channels; offsets are 2x this
 
+        # channel order (nz | l, h, ppa[, 2]): nz folds into the row axis,
+        # the rest is the kernel's flat layout
         cp_off = tuple(
             np.arange(h * l * p * 2)
             .reshape(h, l, ppa, nz, 2)
-            .transpose(3, 0, 1, 2, 4)
+            .transpose(3, 1, 0, 2, 4)
             .ravel()
             .tolist()
         )
         cp_w = tuple(
             np.arange(h * l * p)
             .reshape(h, l, ppa, nz)
-            .transpose(3, 0, 1, 2)
+            .transpose(3, 1, 0, 2)
             .ravel()
             .tolist()
         )
@@ -410,7 +414,7 @@ class MSDeformableAttention3D(nn.Module):
             h * l * p * 2, cp_off,
             bias_init=_offset_bias_init(h, l, p),
             name="sampling_offsets",
-        )(qf).reshape(b, q, nz, h, l, ppa, 2)
+        )(qf).reshape(b, q, nz, l, h, ppa, 2)
         logits = _ColPermDense(
             h * l * p, cp_w, name="attention_weights",
         )(qf)
@@ -418,12 +422,12 @@ class MSDeformableAttention3D(nn.Module):
         # anchor axis split out that is axes (nz, l, ppa) jointly —
         # computed flat so no 6D residual is saved (train memory)
         w_am = softmax_groups_flat(
-            logits, (b, q, nz, h, l, ppa), (2, 4, 5)
+            logits, (b, q, nz, l, h, ppa), (2, 3, 5)
         )
         normalizer = jnp.array(
             [[w, hh] for hh, w in spatial_shapes], jnp.float32
         )
-        off_am = off_am / normalizer[None, None, None, None, :, None, :]
+        off_am = off_am / normalizer[None, None, None, :, None, None, :]
 
         if sort_perm is None:
             key = reference_points[..., 1].astype(jnp.float32).reshape(
@@ -472,14 +476,12 @@ class MSDeformableAttention3D(nn.Module):
         spec = _as_spec(self.fused_msda)
         halo = spec.sca_halo if spec.sca_halo is not None else self.fused_halo
         if spec.audit:
-            from bevformer_tpu.kernels.msda_pallas import (
-                window_drop_mass_in_graph,
-            )
+            from bevformer_tpu.kernels.msda_hi import window_drop_mass_hi
 
-            dm = window_drop_mass_in_graph(
-                spatial_shapes,
-                loc_s_flat.reshape(b, q * nz, h, l, ppa, 2),
-                w_s.reshape(b, q * nz, h, l, ppa),
+            dm = window_drop_mass_hi(
+                spatial_shapes, loc_s_flat,
+                w_s.reshape(b, q * nz, nch),
+                heads=h, points=ppa,
                 stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
             )
@@ -488,8 +490,8 @@ class MSDeformableAttention3D(nn.Module):
                 "intermediates", "msda_total_mass",
                 jnp.sum(w_s.astype(jnp.float32)),
             )
-        out_s = ms_deform_attn_pallas(
-            v, spatial_shapes, loc_s_flat,
+        out_s = ms_deform_attn_hi(
+            v.reshape(b, v.shape[1], -1), spatial_shapes, loc_s_flat,
             w_s.reshape(b, q * nz, nch),
             heads=h, points=ppa,
             stride=self.fused_stride, halo=halo,
@@ -717,21 +719,22 @@ class TemporalSelfAttention(nn.Module):
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
         v = v.reshape(bs * nq, q, h, dh)
 
-        # emit the projections with nq OUTERMOST in the channel dim by
-        # permuting the Dense PARAM columns (reference layout is
-        # (h, nq, l, p)): the runtime nq<->q move then touches contiguous
-        # 128-channel rows instead of interleaved elements
+        # emit the projections with nq OUTERMOST and the rest in the
+        # heads-inner kernel's (l, h, p) channel order by permuting the
+        # Dense PARAM columns (reference layout is (h, nq, l, p)): the
+        # runtime nq<->q move touches contiguous channel blocks and the
+        # fused path needs no further relayout
         cp_off = tuple(
             np.arange(nq * h * l * p * 2)
             .reshape(h, nq, l, p, 2)
-            .transpose(1, 0, 2, 3, 4)
+            .transpose(1, 2, 0, 3, 4)
             .ravel()
             .tolist()
         )
         cp_w = tuple(
             np.arange(nq * h * l * p)
-            .reshape(h, nq, l * p)
-            .transpose(1, 0, 2)
+            .reshape(h, nq, l, p)
+            .transpose(1, 2, 0, 3)
             .ravel()
             .tolist()
         )
@@ -740,57 +743,66 @@ class TemporalSelfAttention(nn.Module):
             bias_init=_offset_bias_init(h, l * nq, p),
             name="sampling_offsets",
         )(query_cat.astype(jnp.float32))
-        offsets = offsets.reshape(bs, q, nq, h, l, p, 2)
-        offsets = offsets.transpose(0, 2, 1, 3, 4, 5, 6)
-        offsets = offsets.reshape(bs * nq, q, h, l, p, 2)
+        # [bs, q, nq*(l, h, p, 2)] -> [bs*nq, q, (l, h, p, 2)]
+        off_flat = (
+            offsets.reshape(bs, q, nq, h * l * p * 2)
+            .transpose(0, 2, 1, 3)
+            .reshape(bs * nq, q, h * l * p * 2)
+        )
 
         weights = _ColPermDense(
             nq * h * l * p, cp_w, name="attention_weights",
         )(query_cat.astype(jnp.float32))
+        # softmax over (l, p) per (nq, h) (`temporal_self_attention.py`)
         weights = softmax_groups_flat(
-            weights, (bs, q, nq, h, l * p), (4,)
+            weights, (bs, q, nq, l, h, p), (3, 5)
         )
-        weights = (
-            weights.reshape(bs, q, nq, h, l, p)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(bs * nq, q, h, l, p)
+        w_flat = (
+            weights.reshape(bs, q, nq, h * l * p)
+            .transpose(0, 2, 1, 3)
+            .reshape(bs * nq, q, h * l * p)
         )
 
         normalizer = jnp.array([[bev_w, bev_h]], jnp.float32)  # [l=1, 2]
         ref = reference_points.reshape(bs * nq, q, l, 2).astype(jnp.float32)
-        locations = (
-            ref[:, :, None, :, None, :]
-            + offsets / normalizer[None, None, None, :, None, :]
-        )
 
         mode = _fused_mode(self.fused_msda)
         if mode != "off":
             # BEV queries are grid-ordered (row-major) => items are
             # row-coherent; offsets beyond the halo would drop mass but
             # stay within it in practice (grid init <= 4 cells)
-            from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
+            from bevformer_tpu.kernels.msda_hi import (
+                ms_deform_attn_hi,
+                window_drop_mass_hi,
+            )
 
             spec = _as_spec(self.fused_msda)
             halo = (
                 spec.tsa_halo if spec.tsa_halo is not None else self.fused_halo
             )
+            norm_flat = jnp.tile(
+                normalizer.reshape(-1), h * l * p
+            )  # channel pairs (x, y)
+            loc_flat = (
+                off_flat / norm_flat
+                + jnp.tile(ref.reshape(bs * nq, q, l * 2), (1, 1, h * p))
+            )
             if spec.audit:
-                from bevformer_tpu.kernels.msda_pallas import (
-                    window_drop_mass_in_graph,
-                )
-
-                dm = window_drop_mass_in_graph(
-                    ((bev_h, bev_w),), locations, weights,
+                dm = window_drop_mass_hi(
+                    ((bev_h, bev_w),), loc_flat, w_flat,
+                    heads=h, points=p,
                     stride=self.fused_stride, halo=halo,
                     cap_tile=self.fused_cap_tile,
                 )
                 self.sow("intermediates", "msda_drop_mass", dm)
                 self.sow(
                     "intermediates", "msda_total_mass",
-                    jnp.sum(weights.astype(jnp.float32)),
+                    jnp.sum(w_flat.astype(jnp.float32)),
                 )
-            out = ms_deform_attn_pallas(
-                v, ((bev_h, bev_w),), locations, weights,
+            out = ms_deform_attn_hi(
+                v.reshape(bs * nq, -1, e), ((bev_h, bev_w),),
+                loc_flat, w_flat,
+                heads=h, points=p,
                 stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),
@@ -798,11 +810,17 @@ class TemporalSelfAttention(nn.Module):
         elif self.window_radius > 0:
             from bevformer_tpu.kernels.msda import ms_deform_attn_grid_shift
 
+            locations, weights = self._unflatten(
+                off_flat, w_flat, ref, normalizer, bs, q
+            )
             out = ms_deform_attn_grid_shift(
                 v, (bev_h, bev_w), locations, weights,
                 radius=self.window_radius,
             )
         else:
+            locations, weights = self._unflatten(
+                off_flat, w_flat, ref, normalizer, bs, q
+            )
             out = ms_deform_attn(v, ((bev_h, bev_w),), locations, weights)
         # fuse queue by mean (`temporal_self_attention.py:255-262`)
         out = out.reshape(bs, nq, q, e).mean(axis=1)
@@ -810,6 +828,24 @@ class TemporalSelfAttention(nn.Module):
         out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out + identity
+
+    def _unflatten(self, off_flat, w_flat, ref, normalizer, bs, q):
+        """(l, h, p) flat channels -> the 6D layouts of the XLA paths."""
+        h, l, p = self.num_heads, self.num_levels, self.num_points
+        nq = self.num_bev_queue
+        off6 = (
+            off_flat.reshape(bs * nq, q, l, h, p, 2)
+            .transpose(0, 1, 3, 2, 4, 5)
+        )
+        weights = (
+            w_flat.reshape(bs * nq, q, l, h, p)
+            .transpose(0, 1, 3, 2, 4)
+        )
+        locations = (
+            ref[:, :, None, :, None, :]
+            + off6 / normalizer[None, None, None, :, None, :]
+        )
+        return locations, weights
 
 
 class CustomMSDeformableAttention(nn.Module):
@@ -888,34 +924,36 @@ class CustomMSDeformableAttention(nn.Module):
 
         mode = _fused_mode(self.fused_msda)
         if mode != "off":
-            from bevformer_tpu.kernels.msda_pallas import ms_deform_attn_pallas
+            from bevformer_tpu.kernels.msda_hi import (
+                ms_deform_attn_hi,
+                window_drop_mass_hi,
+            )
 
             # row-coherent item order: sort queries by reference y (the
-            # p offsets per query stay within the halo)
+            # p offsets per query stay within the halo); flat channels in
+            # the heads-inner kernel's (l, h, p) order
             key = reference_points[..., 0, 1].astype(jnp.float32)  # [bs, q]
             perm = jnp.argsort(key, axis=1)
             inv = jnp.argsort(perm, axis=1)
-            lw = jnp.concatenate(
-                [
-                    locations.reshape(bs, q, h * l * p * 2),
-                    weights.reshape(bs, q, h * l * p),
-                ],
-                axis=-1,
+            loc_f = (
+                locations.transpose(0, 1, 3, 2, 4, 5)
+                .reshape(bs, q, l * h * p * 2)
             )
+            w_f = (
+                weights.transpose(0, 1, 3, 2, 4).reshape(bs, q, l * h * p)
+            )
+            lw = jnp.concatenate([loc_f, w_f], axis=-1)
             lw = permute_rows(lw, perm, inv)
-            loc_s = lw[..., : h * l * p * 2].reshape(bs, q, h, l, p, 2)
-            w_s = lw[..., h * l * p * 2 :].reshape(bs, q, h, l, p)
+            loc_s = lw[..., : h * l * p * 2]
+            w_s = lw[..., h * l * p * 2 :]
             spec = _as_spec(self.fused_msda)
             halo = (
                 spec.dec_halo if spec.dec_halo is not None else self.fused_halo
             )
             if spec.audit:
-                from bevformer_tpu.kernels.msda_pallas import (
-                    window_drop_mass_in_graph,
-                )
-
-                dm = window_drop_mass_in_graph(
+                dm = window_drop_mass_hi(
                     spatial_shapes, loc_s, w_s,
+                    heads=h, points=p,
                     stride=self.fused_stride, halo=halo,
                     cap_tile=self.fused_cap_tile,
                 )
@@ -924,8 +962,9 @@ class CustomMSDeformableAttention(nn.Module):
                     "intermediates", "msda_total_mass",
                     jnp.sum(w_s.astype(jnp.float32)),
                 )
-            out = ms_deform_attn_pallas(
-                v, spatial_shapes, loc_s, w_s,
+            out = ms_deform_attn_hi(
+                v.reshape(bs, v.shape[1], -1), spatial_shapes, loc_s, w_s,
+                heads=h, points=p,
                 stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),

@@ -77,3 +77,52 @@ if __name__ == "__main__":
     for halo in (6, 5, 4, 3):
         d, tot = tsa_drop(halo)
         print(f"TSA halo={halo}: drop {d:.6f} / {tot:.0f}", flush=True)
+
+
+def sca_drop_hi(halo, stride=4, ct=512):
+    """v3 heads-inner kernel: per-query-block windows shared across all
+    points and heads — the halo must cover the full grid-init spread."""
+    from bevformer_tpu.kernels import msda_hi as mh
+
+    h, l, ppa, nz = 8, 4, 2, 4
+    shapes = ((116, 200), (58, 100), (29, 50), (15, 25))
+    cap = 10112
+    qn = cap * nz
+    rng = np.random.RandomState(0)
+    base_y = np.sort(rng.rand(qn)).astype(np.float32)
+    anchor = np.stack([rng.rand(qn).astype(np.float32), base_y], -1)
+    bias = _grid_init_bias(h, l, ppa * nz).reshape(h, l, ppa, nz, 2)
+    norm = np.array([[w, hh] for hh, w in shapes], np.float32)
+    k_of_item = np.tile(np.arange(nz), cap)
+    off = bias[:, :, :, k_of_item, :] / norm[None, :, None, None, :]
+    # flat (l, h, ppa, 2) channels
+    loc = (anchor[None, None, None, :, :] + off)  # [h, l, ppa, qn, 2]
+    loc = loc.transpose(3, 1, 0, 2, 4).reshape(1, qn, l * h * ppa * 2)
+    w_ = np.full((1, qn, l * h * ppa), 1.0 / (l * ppa * nz), np.float32)
+    dm = mh.window_drop_mass_hi(
+        shapes, jnp.asarray(loc.astype(np.float32)), jnp.asarray(w_),
+        heads=h, points=ppa, stride=stride, halo=halo, cap_tile=ct,
+    )
+    return float(dm.sum()), float(w_.sum())
+
+
+def tsa_drop_hi(halo, stride=4, ct=512):
+    from bevformer_tpu.kernels import msda_hi as mh
+
+    h, l, p = 8, 1, 4
+    rng = np.random.RandomState(1)
+    gy, gx = np.meshgrid(np.arange(200), np.arange(200), indexing="ij")
+    anchor = np.stack(
+        [(gx.ravel() + 0.5) / 200, (gy.ravel() + 0.5) / 200], -1
+    ).astype(np.float32)
+    bias = _grid_init_bias(h, l, p).reshape(h, l, p, 2)
+    off = bias / np.array([200.0, 200.0], np.float32)
+    loc = (anchor[:, None, None, None, :] + off[None])  # [q, h, l, p, 2]
+    loc = loc.transpose(0, 2, 1, 3, 4).reshape(1, anchor.shape[0], -1)
+    w_ = np.full((1, anchor.shape[0], l * h * p), 1.0 / (l * p), np.float32)
+    dm = mh.window_drop_mass_hi(
+        ((200, 200),), jnp.asarray(loc.astype(np.float32)),
+        jnp.asarray(w_), heads=h, points=p, stride=stride, halo=halo,
+        cap_tile=ct,
+    )
+    return float(dm.sum()), float(w_.sum())
