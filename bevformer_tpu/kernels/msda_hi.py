@@ -57,6 +57,18 @@ LANE = 128
 NCH = 6  # payload channels per (level, head): x0, wx0, wx1, y0, wy0, wy1
 
 
+def effective_halo(stride: int, halo: int) -> int:
+    """Round `halo` up so wrows = stride + halo + 1 is a multiple of
+    stride: the grouped window construction in
+    `prepare_window_values_hi` stacks whole stride-row groups (g big
+    strided slices instead of one slice PER window — the per-window
+    stack + 6D transpose measured 11.4 ms/layer at base SCA scale,
+    tools/bench_hi_probe.py). A larger halo only widens the drop-free
+    guarantee; MXU rows grow by <= stride-1."""
+    wrows = stride + halo + 1
+    return -(-wrows // stride) * stride - stride - 1
+
+
 def prepare_window_values_hi(
     value: jnp.ndarray,  # [B, K, H*D] (flat) or [B, K, H, D]
     spatial_shapes,
@@ -68,7 +80,8 @@ def prepare_window_values_hi(
 ):
     """Per-level HEAD-MAJOR overlapping row-window blocks
     [B, nw, H, wrows*D, WWp]; window j holds image rows
-    [j*stride, j*stride + stride + halo] (zero-padded past the image)."""
+    [j*stride, j*stride + stride + halo] (zero-padded past the image).
+    Requires halo == effective_halo(stride, halo)."""
     if value.ndim == 4:
         b, k, h, d = value.shape
         val = value
@@ -80,25 +93,28 @@ def prepare_window_values_hi(
     starts, sizes, total = _level_bounds(spatial_shapes)
     assert total == k
     wrows = stride + halo + 1
+    assert wrows % stride == 0, (
+        "halo must be pre-rounded via effective_halo()", stride, halo)
+    g = wrows // stride
     out = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
         wwp = _round_up(ww, LANE)
         img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 1)
-        img = img.reshape(b, hh, ww, h, d)
+        img = img.reshape(b, hh, ww, h, d).astype(compute_dtype)
+        hpad = (nw + g - 1) * stride  # = (nw - 1) * stride + wrows
         img = jnp.pad(
-            img,
-            ((0, 0), (0, (nw - 1) * stride + wrows - hh), (0, wwp - ww),
-             (0, 0), (0, 0)),
+            img, ((0, 0), (0, hpad - hh), (0, wwp - ww), (0, 0), (0, 0))
         )
+        # ONE big transpose (minor ww stays large), then whole-group
+        # stacking: window j = stride-row groups j .. j+g-1
+        t = img.transpose(0, 3, 1, 4, 2)  # [b, h, hpad, d, wwp]
+        tg = t.reshape(b, h, hpad // stride, stride * d, wwp)
         wins = jnp.stack(
-            [img[:, j * stride: j * stride + wrows] for j in range(nw)],
-            axis=1,
-        )  # [b, nw, wrows, wwp, h, d]
-        wins = wins.transpose(0, 1, 4, 2, 5, 3)  # [b, nw, h, wrows, d, wwp]
-        out.append(
-            wins.reshape(b, nw, h, wrows * d, wwp).astype(compute_dtype)
-        )
+            [tg[:, :, o: o + nw] for o in range(g)], axis=3
+        )  # [b, h, nw, g, stride*d, wwp]
+        wins = wins.reshape(b, h, nw, wrows * d, wwp)
+        out.append(wins.transpose(0, 2, 1, 3, 4))  # [b, nw, h, rm, wwp]
     return out
 
 
@@ -162,14 +178,85 @@ def _kernel_hi(wrows, d, h, stride, n_levels, ct, ntq, compute_dtype,
         )
 
 
+def _bilinear_channels(locT, awT, spatial_shapes, h, p, unfold_aw=False):
+    """Vectorized bilinear payload math over ALL (l, h, p) channels.
+
+    locT [b, 2*nch, q_pad] / awT [b, nch, q_pad], channels (l, h, p).
+    Returns (chan6 [b, nch, 6, q_pad] f32, extras [b, nch, 5, q_pad] f32,
+    y0i [b, nch, q_pad] i32); extras = (vy0, vy1, aw, vx0, vx1) for the
+    backward's unfolded payload (unfold_aw=True leaves aw OUT of the wx
+    channels). Bulk ops replace the 384 per-channel slices the original
+    prep emitted (measured 14 ms/layer of pure XLA overhead at base SCA
+    scale, tools/bench_hi_probe.py)."""
+    l = len(spatial_shapes)
+    nch = l * h * p
+    ww_vec = jnp.repeat(
+        jnp.array([ww for _, ww in spatial_shapes], jnp.float32), h * p
+    )[None, :, None]
+    hh_vec = jnp.repeat(
+        jnp.array([hh for hh, _ in spatial_shapes], jnp.float32), h * p
+    )[None, :, None]
+    x = locT[:, 0::2] * ww_vec - 0.5
+    y = locT[:, 1::2] * hh_vec - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wwi = ww_vec.astype(jnp.int32)
+    hhi = hh_vec.astype(jnp.int32)
+    vx0 = ((x0i >= 0) & (x0i < wwi)).astype(jnp.float32)
+    vx1 = ((x0i >= -1) & (x0i < wwi - 1)).astype(jnp.float32)
+    vy0 = ((y0i >= 0) & (y0i < hhi)).astype(jnp.float32)
+    vy1 = ((y0i >= -1) & (y0i < hhi - 1)).astype(jnp.float32)
+    x0c = jnp.minimum(jnp.maximum(x0i, -1), wwi - 1).astype(jnp.float32)
+    awx = jnp.ones_like(awT) if unfold_aw else awT
+    chan6 = jnp.stack(
+        [
+            x0c,
+            awx * (1.0 - tx) * vx0,
+            awx * tx * vx1,
+            y0,
+            (1.0 - ty) * vy0,
+            ty * vy1,
+        ],
+        axis=2,
+    )  # [b, nch, 6, q_pad]
+    extras = jnp.stack([vy0, vy1, awT, vx0, vx1], axis=2)
+    return chan6, extras, y0i
+
+
+def _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows):
+    """Per-(level, head) tile-window indices, batched per level.
+
+    y0i [b, nch(l,h,p), q_pad] -> jrow [L*H, b, ntq]. Window per (QUERY
+    BLOCK, HEAD), shared across the head's point streams: per-head
+    windows keep the halo at the one-directional per-head offset spread
+    (~8 rows at grid init) instead of the cross-head +-8 a fully shared
+    window would need; j is monotone over query blocks per head (the
+    backward accumulation relies on it)."""
+    b = y0i.shape[0]
+    jrows = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        yl = y0i[:, lvl * h * p: (lvl + 1) * h * p]
+        yl = yl.reshape(b, h, p, ntq, ct).transpose(1, 0, 3, 2, 4)
+        j = _tile_windows(
+            yl.reshape(h * b, ntq * p * ct), ntq, p * ct, stride, wrows, nw
+        )
+        jrows.append(j.reshape(h, b, ntq))
+    return jnp.concatenate(jrows, axis=0)  # [L*H, b, ntq]
+
+
 def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
              h, p, ct, stride, wrows, compute_dtype):
-    """Transpose-light payload prep shared by forward and backward.
+    """Vectorized payload prep (see _bilinear_channels).
 
-    Returns (pay [b, nt, L*H*NCH, ct], jrow [L, b, nt], q_pad, nt)."""
+    Returns (pay [b, nt, L*H*NCH, ct], jrow [L*H, b, ntq], q_pad, nt,
+    ntq)."""
     b, qn, _ = sampling_locations.shape
     l = len(spatial_shapes)
-    assert ct % 1 == 0
     ntq = -(-qn // ct)
     q_pad = ntq * ct
     nt = p * ntq
@@ -182,63 +269,13 @@ def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
                        mode="edge")
         awT = jnp.pad(awT, ((0, 0), (0, 0), (0, q_pad - qn)))
 
-    pay_points = []
-    jrows = []
-    y0_by_level = [[] for _ in range(l)]
-    for p_i in range(p):
-        chans = []
-        for lvl, (hh, ww) in enumerate(spatial_shapes):
-            for hd_i in range(h):
-                ci = ((lvl * h + hd_i) * p + p_i)
-                x = locT[:, ci * 2 + 0] * ww - 0.5
-                y = locT[:, ci * 2 + 1] * hh - 0.5
-                aw = awT[:, ci]
-                x0 = jnp.floor(x)
-                y0 = jnp.floor(y)
-                tx = x - x0
-                ty = y - y0
-                x0i = x0.astype(jnp.int32)
-                y0i = y0.astype(jnp.int32)
-                vx0 = (x0i >= 0) & (x0i < ww)
-                vx1 = (x0i >= -1) & (x0i < ww - 1)
-                vy0 = (y0i >= 0) & (y0i < hh)
-                vy1 = (y0i >= -1) & (y0i < hh - 1)
-                x0c = jnp.clip(x0i, -1, ww - 1).astype(jnp.float32)
-                chans.extend([
-                    x0c,
-                    aw * (1.0 - tx) * vx0,
-                    aw * tx * vx1,
-                    y0,
-                    (1.0 - ty) * vy0,
-                    ty * vy1,
-                ])
-                y0_by_level[lvl].append(y0i)  # [b, q_pad], (p, h) order
-        pay_points.append(
-            jnp.stack(chans, axis=1).reshape(b, l * h * NCH, ntq, ct)
-        )
-    # [b, p, C, ntq, ct] -> [b, p, ntq, C, ct] is a (C, ntq) axes swap of
-    # big-minor blocks; stack order keeps writes contiguous
-    pay = jnp.stack(pay_points, axis=1).transpose(0, 1, 3, 2, 4)
-    pay = pay.reshape(b, nt, l * h * NCH, ct).astype(compute_dtype)
-
-    for lvl, (hh, ww) in enumerate(spatial_shapes):
-        nw = _n_windows(hh, stride)
-        # window per (QUERY BLOCK, HEAD), shared across the head's point
-        # streams: per-head windows keep the halo at the one-directional
-        # per-head offset spread (~8 rows at grid init) instead of the
-        # cross-head +-8 a fully shared window would need; j is monotone
-        # over query blocks per head (backward accumulation relies on it)
-        ys = jnp.stack(y0_by_level[lvl], axis=1)  # [b, p*h, q_pad]
-        ys = ys.reshape(b, p, h, ntq, ct)
-        for hd_i in range(h):
-            yh = ys[:, :, hd_i].transpose(0, 2, 1, 3)  # [b, ntq, p, ct]
-            jrows.append(
-                _tile_windows(
-                    yh.reshape(b, ntq * p * ct), ntq, p * ct, stride,
-                    wrows, nw,
-                )
-            )
-    jrow = jnp.stack(jrows, axis=0)  # [L*H, b, ntq]
+    chan6, _, y0i = _bilinear_channels(locT, awT, spatial_shapes, h, p)
+    # [b, (lh, p), 6, (ntq, ct)] -> [b, p, ntq, lh, 6, ct] (minor ct
+    # stays big through the relayout) -> [b, nt, L*H*NCH, ct]
+    chan6 = chan6.astype(compute_dtype)
+    pay = chan6.reshape(b, l * h, p, NCH, ntq, ct).transpose(0, 2, 4, 1, 3, 5)
+    pay = pay.reshape(b, nt, l * h * NCH, ct)
+    jrow = _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows)
     return pay, jrow, q_pad, nt, ntq
 
 
@@ -271,6 +308,7 @@ def _forward_hi(
     d = hd // h
     qn = sampling_locations.shape[1]
     l = len(spatial_shapes)
+    halo = effective_halo(stride, halo)
     wrows = stride + halo + 1
     ct = cap_tile
 
@@ -337,6 +375,7 @@ def window_drop_mass_hi(
     h, p = heads, points
     l = len(spatial_shapes)
     ct = cap_tile
+    halo = effective_halo(stride, halo)
     wrows = stride + halo + 1
     ntq = -(-qn // ct)
     q_pad = ntq * ct
@@ -408,62 +447,17 @@ def _prep_hi_bwd(sampling_locations, attention_weights, spatial_shapes,
                        mode="edge")
         awT = jnp.pad(awT, ((0, 0), (0, 0), (0, q_pad - qn)))
 
-    chans = []
-    y0_by_level = [[] for _ in range(l)]
-    for p_i in range(p):
-        for lvl, (hh, ww) in enumerate(spatial_shapes):
-            for hd_i in range(h):
-                ci = ((lvl * h + hd_i) * p + p_i)
-                x = locT[:, ci * 2 + 0] * ww - 0.5
-                y = locT[:, ci * 2 + 1] * hh - 0.5
-                aw = awT[:, ci]
-                x0 = jnp.floor(x)
-                y0 = jnp.floor(y)
-                tx = x - x0
-                ty = y - y0
-                x0i = x0.astype(jnp.int32)
-                y0i = y0.astype(jnp.int32)
-                vx0 = ((x0i >= 0) & (x0i < ww)).astype(jnp.float32)
-                vx1 = ((x0i >= -1) & (x0i < ww - 1)).astype(jnp.float32)
-                vy0 = ((y0i >= 0) & (y0i < hh)).astype(jnp.float32)
-                vy1 = ((y0i >= -1) & (y0i < hh - 1)).astype(jnp.float32)
-                x0c = jnp.clip(x0i, -1, ww - 1).astype(jnp.float32)
-                z = jnp.zeros_like(aw)
-                chans.extend([
-                    x0c,
-                    (1.0 - tx) * vx0,
-                    tx * vx1,
-                    y0,
-                    (1.0 - ty) * vy0,
-                    ty * vy1,
-                    vy0,
-                    vy1,
-                    aw,
-                    vx0,
-                    vx1,
-                    z,
-                ])
-                y0_by_level[lvl].append(y0i)
-    pay = jnp.stack(chans, axis=1).reshape(
-        b, p * l * h * NCHB, ntq, ct
-    ).transpose(0, 2, 1, 3).astype(compute_dtype)
-
-    jrows = []
-    for lvl, (hh, ww) in enumerate(spatial_shapes):
-        nw = _n_windows(hh, stride)
-        ys = jnp.stack(y0_by_level[lvl], axis=1)  # [b, p*h, q_pad]
-        # bwd payload appends in (p, lvl, h) order -> y0_by_level[lvl]
-        # holds (p, h) like the forward prep
-        ys = ys.reshape(b, p, h, ntq, ct)
-        for hd_i in range(h):
-            yh = ys[:, :, hd_i].transpose(0, 2, 1, 3)
-            jrows.append(
-                _tile_windows(
-                    yh.reshape(b, ntq * p * ct), ntq, p * ct, stride,
-                    wrows, nw,
-                )
-            )
-    jrow = jnp.stack(jrows, axis=0)  # [L*H, b, ntq]
+    chan6, extras, y0i = _bilinear_channels(
+        locT, awT, spatial_shapes, h, p, unfold_aw=True
+    )
+    chan12 = jnp.concatenate(
+        [chan6, extras, jnp.zeros_like(chan6[:, :, :1])], axis=2
+    ).astype(compute_dtype)  # [b, nch(l,h,p), 12, q_pad]
+    # -> channel order (p, l, h) x NCHB, tiles = query blocks
+    pay = chan12.reshape(b, l, h, p, NCHB, ntq, ct)
+    pay = pay.transpose(0, 5, 3, 1, 2, 4, 6)  # [b, ntq, p, l, h, 12, ct]
+    pay = pay.reshape(b, ntq, p * l * h * NCHB, ct)
+    jrow = _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows)
     return pay, jrow, q_pad, ntq
 
 
@@ -647,6 +641,7 @@ def _backward_hi(
     qn = sampling_locations.shape[1]
     l = len(spatial_shapes)
     ct = cap_tile
+    halo = effective_halo(stride, halo)
     wrows = stride + halo + 1
 
     window_values = prepare_window_values_hi(

@@ -123,7 +123,7 @@ class VideoEvaluator:
         clean (each widening recompiles; bounded retries)."""
         import dataclasses
 
-        for attempt in range(4):
+        for attempt in range(5):
             rec = self.audit_frame(images, can_bus, lidar2img)
             bad_drop = rec["drop_frac"] > self.drop_tol
             bad_cap = rec["capacity_clipped"] > 0
@@ -134,12 +134,17 @@ class VideoEvaluator:
             if bad_drop:
                 # the drop scalar folds every fused approximation (msda
                 # windows + DCN vertical clip); widen all of them — over-
-                # widening only costs speed, never accuracy
+                # widening only costs speed, never accuracy. Steps DOUBLE
+                # per attempt (8, 16, 32, 64, 128 rows): a linear step can
+                # stall under the retry bound when offsets are far past
+                # the halo (a ±12-row spread already needs wrows ≈ 38 at
+                # cap_tile=512 on a 50-wide BEV)
+                step = 8 << attempt
                 updates.update(
-                    sca_fused_halo=(c.sca_fused_halo or 13) + 8,
-                    tsa_fused_halo=(c.tsa_fused_halo or 6) + 8,
-                    dec_fused_halo=(c.dec_fused_halo or 40) + 16,
-                    dcn_clip_y=c.dcn_clip_y + 3.0,
+                    sca_fused_halo=(c.sca_fused_halo or 13) + step,
+                    tsa_fused_halo=(c.tsa_fused_halo or 6) + step,
+                    dec_fused_halo=(c.dec_fused_halo or 40) + 2 * step,
+                    dcn_clip_y=c.dcn_clip_y + 3.0 * (1 << attempt),
                 )
             if bad_cap:
                 updates.update(

@@ -51,6 +51,11 @@ def parse_args():
         help="do not auto-widen fused halos/capacity when the first-frame "
         "audit reports lost attention mass",
     )
+    p.add_argument(
+        "--fuse-conv-bn", action="store_true",
+        help="fold BatchNorm into the preceding conv kernels before eval "
+        "(reference tools/misc/fuse_conv_bn.py); exact up to float rounding",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -115,6 +120,12 @@ def main():
             jnp.zeros((1, cfg.bev_h * cfg.bev_w, cfg.embed_dims), jnp.float32),
             jnp.zeros((1,), bool),
         )
+
+    if args.fuse_conv_bn:
+        from bevformer_tpu.runtime.fuse import fuse_conv_bn
+
+        params = fuse_conv_bn(params)
+        print("fused conv+BN (eval-time fold)")
 
     from bevformer_tpu.kernels.msda_pallas import resolve_impl
 
