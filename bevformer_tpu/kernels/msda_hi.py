@@ -118,6 +118,55 @@ def prepare_window_values_hi(
     return out
 
 
+def prepare_window_values_cm(
+    value_cm: jnp.ndarray,  # [B, H*D, K] or [B, H, D, K] CHANNEL-MAJOR
+    spatial_shapes,
+    *,
+    heads: Optional[int] = None,
+    stride: int = 4,
+    halo: int = 13,
+    compute_dtype=jnp.bfloat16,
+):
+    """`prepare_window_values_hi` from a CHANNEL-MAJOR value layout
+    [B, H*D, K]: the per-level build is slice + pad + NON-minor
+    (row-group <-> d) transpose + grouped stack — the minor dim (ww)
+    never moves. The row-major path's d<->ww relayout measured
+    ~7.5 ms/layer at base SCA scale (tools/bench_hi_probe.py xpose);
+    producing value channel-major straight out of the projection matmul
+    costs ~0.4 ms (XLA fuses the output transpose into the dot), making
+    this the cheap path when the caller controls the projection."""
+    if value_cm.ndim == 4:
+        b, h, d, k = value_cm.shape
+        val = value_cm.reshape(b, h * d, k)
+    else:
+        b, hd, k = value_cm.shape
+        h = heads
+        d = hd // h
+        val = value_cm
+    starts, sizes, total = _level_bounds(spatial_shapes)
+    assert total == k
+    wrows = stride + halo + 1
+    assert wrows % stride == 0, (
+        "halo must be pre-rounded via effective_halo()", stride, halo)
+    g = wrows // stride
+    out = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        wwp = _round_up(ww, LANE)
+        img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 2)
+        img = img.reshape(b, h, d, hh, ww).astype(compute_dtype)
+        hpad = (nw + g - 1) * stride
+        img = jnp.pad(
+            img, ((0, 0), (0, 0), (0, 0), (0, hpad - hh), (0, wwp - ww)))
+        tg = img.reshape(b, h, d, hpad // stride, stride, wwp)
+        tg = tg.transpose(0, 3, 1, 4, 2, 5)  # [b, ng, h, stride, d, wwp]
+        tg = tg.reshape(b, hpad // stride, h, stride * d, wwp)
+        wins = jnp.stack([tg[:, o: o + nw] for o in range(g)], axis=3)
+        wins = wins.reshape(b, nw, h, g, stride * d, wwp)
+        out.append(wins.reshape(b, nw, h, wrows * d, wwp))
+    return out
+
+
 def _kernel_hi(wrows, d, h, stride, n_levels, ct, ntq, compute_dtype,
                jrow_ref, pay_ref, *refs):
     """One (batch, item-tile) step: ALL levels and heads fused.
@@ -287,7 +336,7 @@ def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
     ),
 )
 def _forward_hi(
-    value,  # [b, k, h*d] or [b, k, h, d]
+    value,  # [b, k, h*d] or [b, k, h, d]; None with value_cm
     spatial_shapes,
     sampling_locations,  # [b, q', L*H*P*2] FLAT, channels (l, h, p, 2)
     attention_weights,  # [b, q', L*H*P] FLAT, channels (l, h, p)
@@ -300,10 +349,19 @@ def _forward_hi(
     cap_tile=512,
     compute_dtype=jnp.float32,
     interpret=False,
+    value_cm=None,  # [b, h*d, k] CHANNEL-MAJOR alternative to `value`
 ):
-    if value.ndim == 4:
-        value = value.reshape(value.shape[0], value.shape[1], -1)
-    b, k, hd = value.shape
+    if value_cm is not None:
+        if value_cm.ndim == 4:
+            value_cm = value_cm.reshape(
+                value_cm.shape[0], -1, value_cm.shape[3])
+        b, hd, k = value_cm.shape
+        out_dtype = value_cm.dtype
+    else:
+        if value.ndim == 4:
+            value = value.reshape(value.shape[0], value.shape[1], -1)
+        b, k, hd = value.shape
+        out_dtype = value.dtype
     h, p = heads, points
     d = hd // h
     qn = sampling_locations.shape[1]
@@ -313,10 +371,16 @@ def _forward_hi(
     ct = cap_tile
 
     if window_values is None:
-        window_values = prepare_window_values_hi(
-            value, spatial_shapes, heads=h, stride=stride, halo=halo,
-            compute_dtype=compute_dtype,
-        )
+        if value_cm is not None:
+            window_values = prepare_window_values_cm(
+                value_cm, spatial_shapes, heads=h, stride=stride,
+                halo=halo, compute_dtype=compute_dtype,
+            )
+        else:
+            window_values = prepare_window_values_hi(
+                value, spatial_shapes, heads=h, stride=stride, halo=halo,
+                compute_dtype=compute_dtype,
+            )
 
     pay, jrow, q_pad, nt, ntq = _prep_hi(
         sampling_locations, attention_weights, spatial_shapes,
@@ -361,7 +425,7 @@ def _forward_hi(
     # swap has BOTH minors >= 128 (no tiny-minor relayout)
     out = out.reshape(b, p, ntq, h * d, ct).sum(axis=1)
     out = out.transpose(0, 1, 3, 2).reshape(b, q_pad, h * d)
-    return out[:, :qn].astype(value.dtype)
+    return out[:, :qn].astype(out_dtype)
 
 
 def window_drop_mass_hi(
@@ -616,26 +680,50 @@ def _fold_windows_hi(dwin, hh, ww, h, d, stride, wrows):
     return img.transpose(0, 1, 4, 2, 3).reshape(b, hh * ww, h * d)
 
 
+def _fold_windows_cm(dwin, hh, ww, h, d, stride, wrows):
+    """[b, nw, h, wrows*d, wwp] window grads -> CHANNEL-MAJOR
+    [b, h*d, hh*ww] image (the minor dim never moves)."""
+    b, nw, h_, rm, wwp = dwin.shape
+    assert rm == wrows * d and h_ == h
+    dwin = dwin.reshape(b, nw, h, wrows, d, wwp)
+    dwin = dwin.transpose(0, 2, 4, 3, 1, 5)  # [b, h, d, wrows, nw, wwp]
+    hpad = (nw - 1) * stride + wrows
+    img = jnp.zeros((b, h, d, hpad, wwp), jnp.float32)
+    for r in range(wrows):
+        img = img.at[:, :, :, r: r + (nw - 1) * stride + 1: stride].add(
+            dwin[:, :, :, r].astype(jnp.float32)
+        )
+    img = img[:, :, :, :hh, :ww]
+    return img.reshape(b, h * d, hh * ww)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "spatial_shapes", "heads", "points", "stride", "halo", "cap_tile",
-        "compute_dtype", "interpret",
+        "compute_dtype", "interpret", "cm",
     ),
 )
 def _backward_hi(
     value, spatial_shapes, sampling_locations, attention_weights, g, *,
     heads, points, stride, halo, cap_tile, compute_dtype, interpret,
+    cm=False,
 ):
     """Scatter-free heads-inner backward: dValue via transposed window
     matmuls accumulated per query-block window (monotone j, point streams
     folded in-step), dAttw/dLoc via modified-payload passes with the
     cotangent dot reduced in-kernel. Point-major layout makes the
     per-query cotangent a CONTIGUOUS block per tile (no in-kernel
-    expansion matmul)."""
-    if value.ndim == 4:
-        value = value.reshape(value.shape[0], value.shape[1], -1)
-    b, k, hd = value.shape
+    expansion matmul). With cm=True, `value` is CHANNEL-MAJOR
+    [b, h*d, k] and dValue comes back in the same layout."""
+    if cm:
+        if value.ndim == 4:
+            value = value.reshape(value.shape[0], -1, value.shape[3])
+        b, hd, k = value.shape
+    else:
+        if value.ndim == 4:
+            value = value.reshape(value.shape[0], value.shape[1], -1)
+        b, k, hd = value.shape
     h, p = heads, points
     d = hd // h
     qn = sampling_locations.shape[1]
@@ -644,10 +732,16 @@ def _backward_hi(
     halo = effective_halo(stride, halo)
     wrows = stride + halo + 1
 
-    window_values = prepare_window_values_hi(
-        value, spatial_shapes, heads=h, stride=stride, halo=halo,
-        compute_dtype=compute_dtype,
-    )
+    if cm:
+        window_values = prepare_window_values_cm(
+            value, spatial_shapes, heads=h, stride=stride, halo=halo,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        window_values = prepare_window_values_hi(
+            value, spatial_shapes, heads=h, stride=stride, halo=halo,
+            compute_dtype=compute_dtype,
+        )
     pay, jrow, q_pad, ntq = _prep_hi_bwd(
         sampling_locations, attention_weights, spatial_shapes,
         h, p, ct, stride, wrows, compute_dtype,
@@ -749,8 +843,11 @@ def _backward_hi(
                 visited[:, :, None, None, None], dwin[li], 0.0
             ))
         dw = jnp.concatenate(per_head, axis=2)  # [b, nw, h, rm, wwp]
-        dval_parts.append(_fold_windows_hi(dw, hh, ww, h, d, stride, wrows))
-    dvalue = jnp.concatenate(dval_parts, axis=1).astype(value.dtype)
+        fold = _fold_windows_cm if cm else _fold_windows_hi
+        dval_parts.append(fold(dw, hh, ww, h, d, stride, wrows))
+    dvalue = jnp.concatenate(
+        dval_parts, axis=2 if cm else 1
+    ).astype(value.dtype)
 
     # assemble dAttw / dLoc back to the flat (l, h, p) channel layouts
     auxr = aux.reshape(b, ntq, p, nl, h, 4, ct)
@@ -810,6 +907,45 @@ def _hi_bwd(spatial_shapes, heads, points, stride, halo, cap_tile,
 _hi_vjp.defvjp(_hi_fwd, _hi_bwd)
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7, 8, 9, 10)
+)
+def _hi_vjp_cm(value_cm, spatial_shapes, sampling_locations,
+               attention_weights, heads, points, stride, halo, cap_tile,
+               compute_dtype, interpret):
+    return _forward_hi(
+        None, spatial_shapes, sampling_locations, attention_weights,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype,
+        interpret=interpret, value_cm=value_cm,
+    )
+
+
+def _hi_fwd_cm(value_cm, spatial_shapes, loc, attw, heads, points, stride,
+               halo, cap_tile, compute_dtype, interpret):
+    out = _forward_hi(
+        None, spatial_shapes, loc, attw,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype,
+        interpret=interpret, value_cm=value_cm,
+    )
+    return out, (value_cm, loc, attw)
+
+
+def _hi_bwd_cm(spatial_shapes, heads, points, stride, halo, cap_tile,
+               compute_dtype, interpret, res, g):
+    value_cm, loc, attw = res
+    return _backward_hi(
+        value_cm, spatial_shapes, loc, attw, g,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype,
+        interpret=interpret, cm=True,
+    )
+
+
+_hi_vjp_cm.defvjp(_hi_fwd_cm, _hi_bwd_cm)
+
+
 def ms_deform_attn_hi(
     value,
     spatial_shapes,
@@ -822,17 +958,31 @@ def ms_deform_attn_hi(
     halo=13,
     cap_tile=512,
     compute_dtype=jnp.float32,
+    value_cm=None,  # [b, h*d, k] CHANNEL-MAJOR alternative to `value`
 ):
     """Heads-inner fused windowed TPU deformable attention (see module
     docstring). Exact (vs `ms_deform_attn_jnp`) whenever each query
     block's sampled rows — across ALL points and heads — fit its
     stride+halo+1-row window; audit with `window_drop_mass_hi`.
     Differentiable (scatter-free Pallas backward). Off-TPU the kernels
-    run interpreted (tests)."""
+    run interpreted (tests). Pass `value_cm` (channel-major [b, h*d, k],
+    value=None) when the caller's projection emits it directly — the
+    window prep then never relayouts the minor dim (~7.5 ms/layer
+    cheaper at base SCA scale)."""
     try:
         interpret = jax.devices()[0].platform != "tpu"
     except Exception:  # pragma: no cover
         interpret = True
+    if value_cm is not None:
+        assert value is None
+        if value_cm.ndim == 4:
+            value_cm = value_cm.reshape(
+                value_cm.shape[0], -1, value_cm.shape[3])
+        return _hi_vjp_cm(
+            value_cm, spatial_shapes, sampling_locations,
+            attention_weights, heads, points, stride, halo, cap_tile,
+            compute_dtype, interpret,
+        )
     if value.ndim == 4:
         value = value.reshape(value.shape[0], value.shape[1], -1)
     return _hi_vjp(

@@ -208,6 +208,33 @@ class _ColPermDense(nn.Module):
         return x @ jnp.take(kernel, perm, axis=1) + jnp.take(bias, perm)
 
 
+class _DenseCM(nn.Module):
+    """Dense emitting CHANNEL-MAJOR output [..., features, n] from
+    [..., n, in]: the output transpose is fused into the dot by XLA
+    (~0.4 ms at base value scale vs ~7.5 ms for a standalone relayout,
+    tools/bench_hi_probe.py xpose). Params are IDENTICAL to nn.Dense
+    (kernel [in, features] + bias) — checkpoint-compatible with the
+    row-major `value_proj`."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        out = jnp.einsum("...nc,co->...on", x, kernel)
+        return out + bias[..., :, None]
+
+
 class MSDeformableAttention3D(nn.Module):
     """Inner attention of SCA: offsets spread across projected pillar anchors.
 
@@ -260,15 +287,21 @@ class MSDeformableAttention3D(nn.Module):
         h, l, p = self.num_heads, self.num_levels, self.num_points
         dh = self.embed_dims // h
 
-        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
-        v = v.reshape(b, -1, h, dh)
-
         mode = _fused_mode(self.fused_msda)
         if mode != "off":
+            # channel-major value projection: the fused kernel's window
+            # prep wants [b, e, k] (prepare_window_values_cm) and XLA
+            # fuses the transposed output into the projection matmul
+            v_cm = _DenseCM(
+                self.embed_dims, dtype=self.dtype, name="value_proj"
+            )(value)
             return self._fused_forward(
-                query, v, reference_points, spatial_shapes, mode,
+                query, v_cm, reference_points, spatial_shapes, mode,
                 sort_perm, sort_inv,
             )
+
+        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(b, -1, h, dh)
 
         offsets = nn.Dense(
             h * l * p * 2,
@@ -491,12 +524,13 @@ class MSDeformableAttention3D(nn.Module):
                 jnp.sum(w_s.astype(jnp.float32)),
             )
         out_s = ms_deform_attn_hi(
-            v.reshape(b, v.shape[1], -1), spatial_shapes, loc_s_flat,
+            None, spatial_shapes, loc_s_flat,
             w_s.reshape(b, q * nz, nch),
             heads=h, points=ppa,
             stride=self.fused_stride, halo=halo,
             cap_tile=self.fused_cap_tile,
             compute_dtype=_fused_dtype(mode),
+            value_cm=v,  # [b, e, k] channel-major
         )  # [b, q*nz, h*dh]
         out = permute_rows(out_s, sort_inv, sort_perm)
         return out.reshape(b, q, nz, h * dh).sum(axis=2).astype(out_s.dtype)
@@ -716,8 +750,18 @@ class TemporalSelfAttention(nn.Module):
         # (`temporal_self_attention.py:197`)
         query_cat = jnp.concatenate([value_queue[:, 0], query], axis=-1)
 
-        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
-        v = v.reshape(bs * nq, q, h, dh)
+        mode = _fused_mode(self.fused_msda)
+        if mode != "off":
+            # channel-major projection for the fused kernel's window prep
+            v_cm = _DenseCM(
+                self.embed_dims, dtype=self.dtype, name="value_proj"
+            )(value)  # [bs, nq, e, q]
+            v_cm = v_cm.reshape(bs * nq, e, q)
+        else:
+            v = nn.Dense(
+                self.embed_dims, dtype=self.dtype, name="value_proj"
+            )(value)
+            v = v.reshape(bs * nq, q, h, dh)
 
         # emit the projections with nq OUTERMOST and the rest in the
         # heads-inner kernel's (l, h, p) channel order by permuting the
@@ -766,7 +810,6 @@ class TemporalSelfAttention(nn.Module):
         normalizer = jnp.array([[bev_w, bev_h]], jnp.float32)  # [l=1, 2]
         ref = reference_points.reshape(bs * nq, q, l, 2).astype(jnp.float32)
 
-        mode = _fused_mode(self.fused_msda)
         if mode != "off":
             # BEV queries are grid-ordered (row-major) => items are
             # row-coherent; offsets beyond the halo would drop mass but
@@ -800,12 +843,13 @@ class TemporalSelfAttention(nn.Module):
                     jnp.sum(w_flat.astype(jnp.float32)),
                 )
             out = ms_deform_attn_hi(
-                v.reshape(bs * nq, -1, e), ((bev_h, bev_w),),
+                None, ((bev_h, bev_w),),
                 loc_flat, w_flat,
                 heads=h, points=p,
                 stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),
+                value_cm=v_cm,  # [bs*nq, e, q] channel-major
             )
         elif self.window_radius > 0:
             from bevformer_tpu.kernels.msda import ms_deform_attn_grid_shift
@@ -892,8 +936,16 @@ class CustomMSDeformableAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
-        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
-        v = v.reshape(bs, -1, h, dh)
+        mode = _fused_mode(self.fused_msda)
+        if mode != "off":
+            v_cm = _DenseCM(
+                self.embed_dims, dtype=self.dtype, name="value_proj"
+            )(value)  # [bs, e, k] channel-major
+        else:
+            v = nn.Dense(
+                self.embed_dims, dtype=self.dtype, name="value_proj"
+            )(value)
+            v = v.reshape(bs, -1, h, dh)
 
         offsets = nn.Dense(
             h * l * p * 2,
@@ -922,7 +974,6 @@ class CustomMSDeformableAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        mode = _fused_mode(self.fused_msda)
         if mode != "off":
             from bevformer_tpu.kernels.msda_hi import (
                 ms_deform_attn_hi,
@@ -963,11 +1014,12 @@ class CustomMSDeformableAttention(nn.Module):
                     jnp.sum(w_s.astype(jnp.float32)),
                 )
             out = ms_deform_attn_hi(
-                v.reshape(bs, v.shape[1], -1), spatial_shapes, loc_s, w_s,
+                None, spatial_shapes, loc_s, w_s,
                 heads=h, points=p,
                 stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
                 compute_dtype=_fused_dtype(mode),
+                value_cm=v_cm,  # [bs, e, k] channel-major
             )
             out = permute_rows(out, inv, perm)
         else:

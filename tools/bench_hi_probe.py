@@ -115,9 +115,52 @@ def make_kernel_var(mode):
     return kern
 
 
+def prep_cm(value_cm, shapes, stride, halo, cd):
+    """Window prep from CHANNEL-MAJOR value [b, h, d, k]: per level the
+    build is slice + pad + NON-minor (d <-> row-group) transpose + grouped
+    stack — the minor dim (ww) never moves, unlike the [b,k,h*d] path's
+    d<->ww relayout."""
+    bb, hh_, dd, kk = value_cm.shape
+    starts = np.cumsum([0] + [a * c for a, c in shapes])
+    wrows = stride + halo + 1
+    g = wrows // stride
+    out = []
+    for lvl, (hh, ww) in enumerate(shapes):
+        nw = mh._n_windows(hh, stride)
+        wwp = _round_up(ww, 128)
+        img = jax.lax.dynamic_slice_in_dim(
+            value_cm, int(starts[lvl]), hh * ww, 3
+        ).reshape(bb, hh_, dd, hh, ww).astype(cd)
+        hpad = (nw + g - 1) * stride
+        img = jnp.pad(
+            img, ((0, 0), (0, 0), (0, 0), (0, hpad - hh), (0, wwp - ww)))
+        tg = img.reshape(bb, hh_, dd, hpad // stride, stride, wwp)
+        tg = tg.transpose(0, 3, 1, 4, 2, 5)  # [b, ng, h, stride, d, wwp]
+        tg = tg.reshape(bb, hpad // stride, hh_, stride * dd, wwp)
+        wins = jnp.stack([tg[:, o: o + nw] for o in range(g)], axis=3)
+        wins = wins.reshape(bb, nw, hh_, g, stride * dd, wwp)
+        out.append(wins.reshape(bb, nw, hh_, wrows * dd, wwp))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def run(val_in, loc_in, attw_in, mode):
     cd = jnp.bfloat16
+    if mode in ("xpose", "prepcm", "fullcm"):
+        # channel-major variants: value -> [b, h, d, k]
+        vcm = val_in.reshape(b, k, h, d).transpose(0, 2, 3, 1)
+        if mode == "xpose":
+            return jnp.full((1,), vcm.astype(jnp.float32).sum() * 1e-20,
+                            jnp.float32)
+        wvcm = prep_cm(vcm, SHAPES, STRIDE, HALO, cd)
+        if mode == "prepcm":
+            s = sum(v.astype(jnp.float32).sum() for v in wvcm)
+            return jnp.full((1,), s * 1e-20, jnp.float32)
+        out = mh._forward_hi(
+            val_in, SHAPES, loc_in, attw_in, wvcm,
+            heads=h, points=p, stride=STRIDE, halo=HALO, cap_tile=CT,
+            compute_dtype=cd)
+        return out.astype(jnp.float32).ravel()[:1]
     wv = mh.prepare_window_values_hi(
         val_in, SHAPES, heads=h, stride=STRIDE, halo=HALO, compute_dtype=cd)
     if mode == "wprep":
