@@ -78,34 +78,28 @@ def prepare_dcn_windows(x, *, stride: int, wrows: int, cc: int,
 
 def _kernel(wrows, ncc, cc, stride, compute_dtype,
             jrow_ref, pay_ref, val_ref, out_ref):
-    """One (batch, pixel-tile, tap) step. Taps ride the innermost grid dim
-    so the out block is [C, CT] (not [9C, CT] — VMEM) and the val window
-    block stays resident across all 9 tap steps of a tile.
+    """One (batch, pixel-tile) step with ALL 9 taps inside (the DCN
+    analogue of the heads-inner msda redesign, `kernels/msda_hi.py`):
+    9x fewer grid steps than the original (b, nt, tap) grid, so the fixed
+    per-step block plumbing amortises and Mosaic can overlap one tap's
+    row-combine (VPU) with the next tap's window matmul (MXU).
 
     jrow_ref: scalar-prefetch [b, nt] window index per tile.
-    pay_ref:  [1, 1, 8, CT] f32 — this tap's (x0, wx0*m, wx1*m, y0, wy0,
-              wy1, 0, 0) channels.
-    val_ref:  [1, 1, ncc, wrows*cc, wwp] — this tile's window block.
-    out_ref:  [1, C, CT] — sampled*mask for this tap.
+    pay_ref:  [1, 72, CT] f32 — per tap 8 channels (x0, wx0*m, wx1*m, y0,
+              wy0, wy1, 0, 0).
+    val_ref:  [1, 1, ncc, wrows*cc, wwp] — this tile's window block
+              (shared by all taps).
+    out_ref:  [1, 9*C, CT] — sampled*mask, rows (tap, channel).
     """
     i = pl.program_id(0)
     t = pl.program_id(1)
     j = jrow_ref[i, t]
     wwp = val_ref.shape[-1]
     ct = pay_ref.shape[-1]
+    c = ncc * cc
 
     base = (j * stride).astype(jnp.float32)
     cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
-    pay = pay_ref[0, 0]
-    x0 = pay[0:1]
-    wx0 = pay[1:2]
-    wx1 = pay[2:3]
-    y0 = pay[3:4]
-    wy0 = pay[4:5]
-    wy1 = pay[5:6]
-    xi = x0.astype(jnp.int32)
-    wcol = jnp.where(cio == xi, wx0, 0.0) + jnp.where(cio == xi + 1, wx1, 0.0)
-    wcol = wcol.astype(compute_dtype)
     # f32 mode must ask for HIGHEST or the MXU silently truncates the
     # operands to bf16 (same pitfall handled in msda_pallas._level_accum)
     precision = (
@@ -113,22 +107,37 @@ def _kernel(wrows, ncc, cc, stride, compute_dtype,
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    # row weights shared by every channel chunk — hoist off the cc loop
-    wr = [
-        jnp.where(y0 == base + float(r), wy0, 0.0)
-        + jnp.where(y0 == base + float(r) - 1.0, wy1, 0.0)
-        for r in range(wrows)
-    ]
-    for cci in range(ncc):
-        val = val_ref[0, 0, cci]  # [wrows*cc, wwp]
-        tm = jnp.dot(
-            val, wcol, preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [wrows*cc, ct]
-        acc = jnp.zeros((cc, ct), jnp.float32)
-        for r in range(wrows):
-            acc = acc + wr[r] * tm[r * cc : (r + 1) * cc]
-        out_ref[0, cci * cc : (cci + 1) * cc, :] = acc.astype(out_ref.dtype)
+    for tap in range(K * K):
+        pay = pay_ref[0, tap * 8 : tap * 8 + 8]
+        x0 = pay[0:1]
+        wx0 = pay[1:2]
+        wx1 = pay[2:3]
+        y0 = pay[3:4]
+        wy0 = pay[4:5]
+        wy1 = pay[5:6]
+        xi = x0.astype(jnp.int32)
+        wcol = (
+            jnp.where(cio == xi, wx0, 0.0)
+            + jnp.where(cio == xi + 1, wx1, 0.0)
+        ).astype(compute_dtype)
+        # row weights shared by every channel chunk — hoist off the cc loop
+        wr = [
+            jnp.where(y0 == base + float(r), wy0, 0.0)
+            + jnp.where(y0 == base + float(r) - 1.0, wy1, 0.0)
+            for r in range(wrows)
+        ]
+        for cci in range(ncc):
+            val = val_ref[0, 0, cci]  # [wrows*cc, wwp]
+            tm = jnp.dot(
+                val, wcol, preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [wrows*cc, ct]
+            acc = jnp.zeros((cc, ct), jnp.float32)
+            for r in range(wrows):
+                acc = acc + wr[r] * tm[r * cc : (r + 1) * cc]
+            out_ref[0, tap * c + cci * cc : tap * c + (cci + 1) * cc, :] = (
+                acc.astype(out_ref.dtype)
+            )
 
 
 @functools.partial(
@@ -148,9 +157,10 @@ def _forward(
     b, h, w, c = x.shape
     _, oh, ow, _ = off_y.shape
     n = oh * ow
-    # strided convs double the input-row span per tile — shrink the tile
-    # so the window block stays within the ~16 MB VMEM budget
-    ct = min(cap_tile, 256) if conv_stride > 1 else cap_tile
+    # strided convs double the input-row span per tile, and wide channel
+    # counts grow the [9*C, ct] out block — shrink the tile so window +
+    # out blocks (double-buffered) stay within the ~16 MB VMEM budget
+    ct = min(cap_tile, 256) if (conv_stride > 1 or c >= 512) else cap_tile
     n_pad = _round_up(n, ct)
     nt = n_pad // ct
     wrows = _wrows_for(ct, ow, conv_stride, clip_y, stride)
@@ -205,6 +215,7 @@ def _forward(
     )  # [b, n_pad, 6, 9]
     payload = payload.transpose(0, 3, 2, 1)  # [b, 9, 6, n_pad]
     payload = jnp.pad(payload, ((0, 0), (0, 0), (0, 2), (0, 0)))  # ch -> 8
+    payload = payload.reshape(b, K * K * 8, n_pad)  # taps stacked
 
     # per-tile window index: cover min/max bilinear rows over the tile's
     # ct pixels x 9 taps (items stay in (pixel, tap) groups after reshape)
@@ -219,17 +230,16 @@ def _forward(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        # taps innermost: consecutive tap steps reuse the resident window
-        grid=(b, nt, K * K),
+        grid=(b, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, 8, ct), lambda i, t, tap, jr: (i, tap, 0, t)),
+            pl.BlockSpec((1, K * K * 8, ct), lambda i, t, jr: (i, 0, t)),
             pl.BlockSpec(
                 (1, 1, ncc, wrows * cc, wwp),
-                lambda i, t, tap, jr: (i, jr[i, t], 0, 0, 0),
+                lambda i, t, jr: (i, jr[i, t], 0, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, c, ct), lambda i, t, tap, jr: (i, tap, t)
+            (1, K * K * c, ct), lambda i, t, jr: (i, 0, t)
         ),
     )
     out = pl.pallas_call(
@@ -386,8 +396,11 @@ def resolve_impl(mode: str) -> str:
 
 
 # tuning hooks (bench sweeps); shipped defaults are the measured optimum
-_CAP_TILE = int(os.environ.get("DCN_CAP_TILE", "512"))
-_STRIDE = int(os.environ.get("DCN_STRIDE", "8"))
+# (tools/bench_dcn_probe.py, clip3: s4/ct256 3.00 ms/layer vs s8/ct512
+# 3.75 — smaller tiles cut the worst-case row span, stride 4 the window
+# quantisation, so wrows drops 25 -> 18)
+_CAP_TILE = int(os.environ.get("DCN_CAP_TILE", "256"))
+_STRIDE = int(os.environ.get("DCN_STRIDE", "4"))
 
 
 def dcn_sample_pallas(

@@ -98,6 +98,53 @@ def test_hi_forward_oob_and_bf16():
     assert np.abs(outb - ref).mean() < 0.01 * scale
 
 
+def test_hi_value_cm_matches_row_major():
+    """The CHANNEL-MAJOR value path (value_cm=[b, h*d, k], the layout the
+    attention modules' _DenseCM projections emit) matches the row-major
+    path in both the forward and the custom backward."""
+    from bevformer_tpu.kernels import msda_hi as mh
+
+    rng = np.random.RandomState(11)
+    shapes = ((32, 22), (16, 11))
+    b, q, heads, points, d = 2, 512, 4, 4, 32
+    l = len(shapes)
+    k = sum(h * w for h, w in shapes)
+    value = jnp.array(rng.randn(b, k, heads * d), jnp.float32) * 0.5
+    loc = _coherent_locations(rng, b, q, heads, shapes, points)
+    w = rng.rand(b, q, heads, l, points).astype(np.float32)
+    loc_f, w_f = to_flat_lhp(loc, w)
+    loc_f, w_f = jnp.asarray(loc_f), jnp.asarray(w_f)
+    cot = jnp.array(rng.randn(b, q, heads * d), jnp.float32)
+    kw = dict(heads=heads, points=points, stride=4, halo=8, cap_tile=64)
+
+    def loss_rm(v, lf, wf):
+        out = mh.ms_deform_attn_hi(v, shapes, lf, wf, **kw)
+        return (out * cot).sum(), out
+
+    def loss_cm(vc, lf, wf):
+        out = mh.ms_deform_attn_hi(None, shapes, lf, wf, value_cm=vc, **kw)
+        return (out * cot).sum(), out
+
+    (_, out_rm), g_rm = jax.value_and_grad(
+        loss_rm, argnums=(0, 1, 2), has_aux=True
+    )(value, loc_f, w_f)
+    (_, out_cm), g_cm = jax.value_and_grad(
+        loss_cm, argnums=(0, 1, 2), has_aux=True
+    )(jnp.swapaxes(value, 1, 2), loc_f, w_f)
+    np.testing.assert_allclose(
+        np.asarray(out_cm), np.asarray(out_rm), rtol=0, atol=1e-5
+    )
+    # dValue comes back channel-major — compare transposed
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(g_cm[0], 1, 2)), np.asarray(g_rm[0]),
+        rtol=0, atol=1e-5,
+    )
+    for a, b_ in zip(g_cm[1:], g_rm[1:]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=0, atol=1e-5
+        )
+
+
 @pytest.mark.parametrize(
     "shapes,heads,points",
     [

@@ -63,6 +63,8 @@ if __name__ == "__main__":
         run((2, 3), "R101-DCN(2,3) base-res fused-bf16", dcn_impl="bf16")
     if which in ("all", "plain"):
         run((), "R101 plain base-res")
+    if which == "clip3":
+        run((2, 3), "R101-DCN fused-bf16 clip3", dcn_impl="bf16", clip_y=3.0)
     if which == "clip4":
         run((2, 3), "R101-DCN fused-bf16 clip4", dcn_impl="bf16", clip_y=4.0)
     if which == "ct1024":
