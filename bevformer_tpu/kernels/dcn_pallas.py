@@ -54,7 +54,11 @@ def _wrows_for(ct: int, ow: int, conv_stride: int, clip_y: float,
     input rows; taps add +-1, offsets +-clip, the bottom bilinear corner
     +1, window-start quantisation +stride-1, +1 safety margin."""
     row_span = conv_stride * (math.ceil(ct / ow) + 1)
-    return row_span + 2 + 2 * math.ceil(clip_y) + 2 + (stride - 1) + 1
+    wr = row_span + 2 + 2 * math.ceil(clip_y) + 2 + (stride - 1) + 1
+    # round up to a stride multiple so the grouped window construction in
+    # `prepare_dcn_windows` can stack whole stride-row groups (coverage
+    # only widens; the kernel's row-combine grows by <= stride-1 rows)
+    return -(-wr // stride) * stride
 
 
 def prepare_dcn_windows(x, *, stride: int, wrows: int, cc: int,
@@ -63,17 +67,28 @@ def prepare_dcn_windows(x, *, stride: int, wrows: int, cc: int,
     blocks; window j holds input rows [j*stride, j*stride + wrows)."""
     b, h, w, c = x.shape
     assert c % cc == 0, (c, cc)
+    assert wrows % stride == 0, ("wrows must be a stride multiple "
+                                 "(see _wrows_for)", wrows, stride)
     wwp = _round_up(w, LANE)
     nw = max(-(-h // stride), 1)
+    g = wrows // stride
+    hpad = (nw + g - 1) * stride  # = (nw - 1) * stride + wrows
     xp = jnp.pad(
-        x, ((0, 0), (0, (nw - 1) * stride + wrows - h), (0, wwp - w), (0, 0))
+        x.astype(compute_dtype),
+        ((0, 0), (0, hpad - h), (0, wwp - w), (0, 0)),
     )
+    # ONE transpose with a big minor (wwp), then whole stride-row-group
+    # stacking: window j = groups j .. j+g-1 (the per-window stack + 6D
+    # relayout this replaces measured ~3.2 ms per stage-3 DCN block,
+    # tools/bench_dcn_probe.py wprep — same fix as msda_hi's prep)
+    img = xp.reshape(b, hpad, wwp, c // cc, cc)
+    t = img.transpose(0, 3, 1, 4, 2)  # [b, ncc, hpad, cc, wwp]
+    tg = t.reshape(b, c // cc, hpad // stride, stride * cc, wwp)
     wins = jnp.stack(
-        [xp[:, j * stride : j * stride + wrows] for j in range(nw)], axis=1
-    )  # [b, nw, wrows, wwp, c]
-    wins = wins.reshape(b, nw, wrows, wwp, c // cc, cc)
-    wins = wins.transpose(0, 1, 4, 2, 5, 3)  # [b, nw, ncc, wrows, cc, wwp]
-    return wins.reshape(b, nw, c // cc, wrows * cc, wwp).astype(compute_dtype)
+        [tg[:, :, o : o + nw] for o in range(g)], axis=3
+    )  # [b, ncc, nw, g, stride*cc, wwp]
+    wins = wins.reshape(b, c // cc, nw, wrows * cc, wwp)
+    return wins.transpose(0, 2, 1, 3, 4)  # [b, nw, ncc, wrows*cc, wwp]
 
 
 def _kernel(wrows, ncc, cc, stride, compute_dtype,
@@ -167,28 +182,32 @@ def _forward(
     nw = max(-(-h // stride), 1)
     ncc = c // cc
 
-    # sampling coordinates (pixel space): y = oy*cs - 1 + ky + off_y
-    ys = jnp.arange(oh, dtype=jnp.float32) * conv_stride - 1.0
-    xs = jnp.arange(ow, dtype=jnp.float32) * conv_stride - 1.0
+    # sampling coordinates (pixel space): y = oy*cs - 1 + ky + off_y.
+    # Everything is computed TAP-MAJOR [b, 9, n_pad] so the payload stack
+    # is layout-clean: the old [b, n, 6, 9] -> [b, 9, 6, n] relayout was a
+    # tiny-minor (9) transpose of 6 channels; here only the three raw
+    # inputs transpose (5x less traffic) and all math has a big minor.
+    ybase = jnp.repeat(
+        jnp.arange(oh, dtype=jnp.float32) * conv_stride - 1.0, ow
+    )  # [n]
+    xbase = jnp.tile(
+        jnp.arange(ow, dtype=jnp.float32) * conv_stride - 1.0, oh
+    )  # [n]
     ky, kx = jnp.meshgrid(
         jnp.arange(K, dtype=jnp.float32),
         jnp.arange(K, dtype=jnp.float32),
         indexing="ij",
     )
     oyc = jnp.clip(off_y.astype(jnp.float32), -clip_y, clip_y)
-    py = ys[None, :, None, None] + ky.reshape(-1)[None, None, None, :] + oyc
-    px = (
-        xs[None, None, :, None]
-        + kx.reshape(-1)[None, None, None, :]
-        + off_x.astype(jnp.float32)
-    )
-    py = jnp.broadcast_to(py, (b, oh, ow, K * K)).reshape(b, n, K * K)
-    px = jnp.broadcast_to(px, (b, oh, ow, K * K)).reshape(b, n, K * K)
-    m = mask.astype(jnp.float32).reshape(b, n, K * K)
+    oy9 = oyc.reshape(b, n, K * K).transpose(0, 2, 1)  # [b, 9, n]
+    ox9 = off_x.astype(jnp.float32).reshape(b, n, K * K).transpose(0, 2, 1)
+    m = mask.astype(jnp.float32).reshape(b, n, K * K).transpose(0, 2, 1)
+    py = ybase[None, None, :] + ky.reshape(-1)[None, :, None] + oy9
+    px = xbase[None, None, :] + kx.reshape(-1)[None, :, None] + ox9
     if n_pad != n:
-        py = jnp.pad(py, ((0, 0), (0, n_pad - n), (0, 0)), mode="edge")
-        px = jnp.pad(px, ((0, 0), (0, n_pad - n), (0, 0)), mode="edge")
-        m = jnp.pad(m, ((0, 0), (0, n_pad - n), (0, 0)))
+        py = jnp.pad(py, ((0, 0), (0, 0), (0, n_pad - n)), mode="edge")
+        px = jnp.pad(px, ((0, 0), (0, 0), (0, n_pad - n)), mode="edge")
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, n_pad - n)))
 
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
@@ -212,15 +231,18 @@ def _forward(
             ty * vy1,
         ],
         axis=2,
-    )  # [b, n_pad, 6, 9]
-    payload = payload.transpose(0, 3, 2, 1)  # [b, 9, 6, n_pad]
+    )  # [b, 9, 6, n_pad]
     payload = jnp.pad(payload, ((0, 0), (0, 0), (0, 2), (0, 0)))  # ch -> 8
     payload = payload.reshape(b, K * K * 8, n_pad)  # taps stacked
 
     # per-tile window index: cover min/max bilinear rows over the tile's
-    # ct pixels x 9 taps (items stay in (pixel, tap) groups after reshape)
+    # ct pixels x 9 taps. _tile_windows only min/max-reduces per tile, so
+    # feed it the per-pixel tap-extremes side by side (order-invariant).
+    ylo = y0i.min(axis=1).reshape(b, nt, ct)
+    yhi = y0i.max(axis=1).reshape(b, nt, ct)
     jrow = _tile_windows(
-        y0i.reshape(b, n_pad * K * K), nt, ct * K * K, stride, wrows, nw
+        jnp.concatenate([ylo, yhi], axis=-1).reshape(b, nt * 2 * ct),
+        nt, 2 * ct, stride, wrows, nw,
     )
 
     wins = prepare_dcn_windows(

@@ -111,16 +111,22 @@ class ModulatedDeformConv(nn.Module):
     def __call__(self, x):  # x: [b, h, w, c]
         b, h, w, c = x.shape
         k = 3
+        # bf16 fused mode runs the offset conv in bf16 (f32 MXU passes on
+        # the fp32-upcast input measured 3.1 ms per stage-3 block,
+        # tools/bench_dcn_probe.py offconv); offsets then carry bf16
+        # rounding (~0.4% relative) consistent with the backbone's own
+        # bf16 features. fp32/parity modes keep the exact fp32 conv.
+        off_dt = jnp.bfloat16 if self.impl == "bf16" else jnp.float32
         om = nn.Conv(
             3 * k * k,
             (k, k),
             strides=(self.stride, self.stride),
             padding=[(1, 1), (1, 1)],
-            dtype=jnp.float32,
+            dtype=off_dt,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="conv_offset",
-        )(x.astype(jnp.float32))
+        )(x.astype(off_dt)).astype(jnp.float32)
         oh, ow = om.shape[1], om.shape[2]
         # torch layout: [18 offsets (y,x interleaved per tap), 9 masks]
         offs = om[..., : 2 * k * k].reshape(b, oh, ow, k * k, 2)
