@@ -167,9 +167,17 @@ def prepare_window_values_cm(
     return out
 
 
-def _kernel_hi(wrows, d, h, stride, n_levels, ct, ntq, compute_dtype,
+def _kernel_hi(wrows, d, h, stride, n_levels, ct, npnt, compute_dtype,
                jrow_ref, pay_ref, *refs):
     """One (batch, item-tile) step: ALL levels and heads fused.
+
+    Tiles are QUERY-BLOCK-major with the npnt point streams innermost
+    (t = qblock * npnt + point): the per-(level, head) window index
+    jrow[.., t // npnt] is CONSTANT across the npnt consecutive steps of
+    one query block, so Pallas skips the window-panel refetch — the
+    window DMA sweep runs once per query range instead of once per point
+    stream (the stream-major order measured a 17.9 ms pure-DMA floor of
+    the 29 ms SCA stage; see BENCH_NOTES round 3).
 
     pay_ref: [1, 1, L*H*NCH, ct]; per (level, head): (x0, wx0, wx1, y0,
              wy0, wy1) — indices exact integers (< 256, bf16-exact), y0
@@ -213,7 +221,7 @@ def _kernel_hi(wrows, d, h, stride, n_levels, ct, ntq, compute_dtype,
                 precision=precision,
             )  # [wrows*d, ct]
             base = (
-                jrow_ref[lvl * h + hd_i, i, t - (t // ntq) * ntq] * stride
+                jrow_ref[lvl * h + hd_i, i, t // npnt] * stride
             ).astype(jnp.float32)
             for r in range(wrows):
                 fr = base + float(r)
@@ -319,10 +327,11 @@ def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
         awT = jnp.pad(awT, ((0, 0), (0, 0), (0, q_pad - qn)))
 
     chan6, _, y0i = _bilinear_channels(locT, awT, spatial_shapes, h, p)
-    # [b, (lh, p), 6, (ntq, ct)] -> [b, p, ntq, lh, 6, ct] (minor ct
-    # stays big through the relayout) -> [b, nt, L*H*NCH, ct]
+    # [b, (lh, p), 6, (ntq, ct)] -> [b, ntq, p, lh, 6, ct] (minor ct
+    # stays big through the relayout) -> [b, nt, L*H*NCH, ct]; tiles are
+    # QUERY-BLOCK-major, point streams innermost (see _kernel_hi)
     chan6 = chan6.astype(compute_dtype)
-    pay = chan6.reshape(b, l * h, p, NCH, ntq, ct).transpose(0, 2, 4, 1, 3, 5)
+    pay = chan6.reshape(b, l * h, p, NCH, ntq, ct).transpose(0, 4, 2, 1, 3, 5)
     pay = pay.reshape(b, nt, l * h * NCH, ct)
     jrow = _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows)
     return pay, jrow, q_pad, nt, ntq
@@ -399,9 +408,7 @@ def _forward_hi(
         + [
             (lambda li_, wwp_: pl.BlockSpec(
                 (1, 1, 1, rm, wwp_),
-                lambda i, t, jr, li=li_: (
-                    i, jr[li, i, t - (t // ntq) * ntq], li % h, 0, 0
-                ),
+                lambda i, t, jr, li=li_: (i, jr[li, i, t // p], li % h, 0, 0),
             ))(lvl_ * h + hd_, _round_up(ww, LANE))
             for lvl_, (hh, ww) in enumerate(spatial_shapes)
             for hd_ in range(h)
@@ -412,7 +419,7 @@ def _forward_hi(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel_hi, wrows, d, h, stride, l, ct, ntq, compute_dtype,
+            _kernel_hi, wrows, d, h, stride, l, ct, p, compute_dtype,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt, h * d, ct), compute_dtype),
@@ -423,7 +430,7 @@ def _forward_hi(
 
     # per-query point sum + back to [b, q', h*d]; the (h*d, ct)->(ct, h*d)
     # swap has BOTH minors >= 128 (no tiny-minor relayout)
-    out = out.reshape(b, p, ntq, h * d, ct).sum(axis=1)
+    out = out.reshape(b, ntq, p, h * d, ct).sum(axis=2)
     out = out.transpose(0, 1, 3, 2).reshape(b, q_pad, h * d)
     return out[:, :qn].astype(out_dtype)
 
