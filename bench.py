@@ -93,7 +93,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{CONFIG} 6-cam inference throughput (1 TPU chip)",
+                "metric": (
+                    f"{CONFIG} 6-cam inference throughput (1 TPU chip); "
+                    "vs_baseline = ours / 3.0 FPS (ESTIMATED A100 figure — "
+                    "the reference publishes no FPS)"
+                ),
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),

@@ -47,6 +47,54 @@ ERR_NAME_MAPPING = {
     "attr_err": "mAAE",
 }
 
+# Per-class default attributes (mmdet3d NuScenesDataset.DefaultAttribute,
+# mirrored at `/root/reference/projects/mmdet3d_plugin/datasets/
+# nuscenes_mono_dataset.py:51-62`); consumed by the reference's inherited
+# `_format_bbox` when writing submissions (`nuscenes_dataset.py:184-240`).
+DEFAULT_ATTRIBUTE = {
+    "car": "vehicle.parked",
+    "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked",
+    "truck": "vehicle.parked",
+    "bus": "vehicle.moving",
+    "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider",
+    "barrier": "",
+    "traffic_cone": "",
+}
+
+_MOVING_VEHICLES = {"car", "construction_vehicle", "bus", "truck", "trailer"}
+
+
+def predict_attribute(class_name: str, velocity_xy) -> str:
+    """The velocity-derived default-attribute rule applied to every
+    predicted box by mmdet3d's `NuScenesDataset._format_bbox` (inherited by
+    the reference's CustomNuScenesDataset; mAAE — 10% of the non-mAP half
+    of NDS — depends on it)."""
+    v = float(np.hypot(velocity_xy[0], velocity_xy[1]))
+    if v > 0.2:
+        if class_name in _MOVING_VEHICLES:
+            return "vehicle.moving"
+        if class_name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+        return DEFAULT_ATTRIBUTE.get(class_name, "")
+    if class_name == "pedestrian":
+        return "pedestrian.standing"
+    if class_name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRIBUTE.get(class_name, "")
+
+
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """devkit `cummean`: cumulative mean ignoring NaN entries (a NaN marks
+    a TP whose GT has no attribute); all-NaN -> ones."""
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    s = np.nancumsum(x.astype(np.float64))
+    c = np.cumsum(~np.isnan(x))
+    return np.divide(s, c, out=np.zeros_like(s), where=c != 0)
+
 
 def _yaw_diff(a: float, b: float, period: float = 2 * np.pi) -> float:
     d = (a - b) % period
@@ -70,10 +118,13 @@ def accumulate_class(
     with_tp: bool,
     yaw_period: float,
     use_vel: bool,
+    gt_attrs: Optional[Dict[str, np.ndarray]] = None,
 ):
     """gts: sample_token -> [G, 9]; preds: list of dicts with sample_token,
-    box [9], score. Returns (precision, recall, conf at 101 recall points,
-    tp error curves)."""
+    box [9], score, optional 'attr' (string). gt_attrs: token -> [G] GT
+    attribute names aligned with gts (devkit: '' = no attribute -> NaN,
+    excluded from the attr cummean). Returns (precision, recall, conf at
+    101 recall points, tp error curves)."""
     npos = sum(len(v) for v in gts.values())
     if npos == 0:
         return None
@@ -107,9 +158,17 @@ def accumulate_class(
                 match_err["vel_err"].append(
                     float(np.linalg.norm(gb[7:9] - pb[7:9])) if use_vel else 0.0
                 )
-                match_err["attr_err"].append(
-                    1.0 - p.get("attr_correct", 0.0)
-                )
+                if gt_attrs is not None and p["token"] in gt_attrs:
+                    ga = str(gt_attrs[p["token"]][best])
+                    match_err["attr_err"].append(
+                        np.nan
+                        if ga == ""
+                        else 1.0 - float(ga == p.get("attr", ""))
+                    )
+                else:
+                    match_err["attr_err"].append(
+                        1.0 - p.get("attr_correct", 0.0)
+                    )
         else:
             tp.append(0.0)
             fp.append(1.0)
@@ -133,11 +192,11 @@ def accumulate_class(
     out_err = {}
     if with_tp:
         for k in TP_METRICS:
-            vals = np.array(match_err[k])
+            vals = np.array(match_err[k], np.float64)
             if len(vals) == 0:
                 out_err[k] = None
             else:
-                cum = np.cumsum(vals) / (np.arange(len(vals)) + 1)
+                cum = _cummean(vals)
                 # devkit interpolates the cummean over the recall axis of TPs
                 tp_rec = np.cumsum(np.ones(len(vals))) / npos
                 out_err[k] = np.interp(
@@ -190,19 +249,35 @@ def evaluate_detections(
     preds_by_class: Dict[int, List[Dict]] = defaultdict(list)
     for r in results:
         boxes = to_gravity(r["boxes_3d"])
-        for b, s, l in zip(boxes, r["scores_3d"], r["labels_3d"]):
+        for i, (b, s, l) in enumerate(
+            zip(boxes, r["scores_3d"], r["labels_3d"])
+        ):
+            # predicted attribute: given explicitly, else the reference's
+            # velocity-derived rule (mmdet3d _format_bbox)
+            if "attrs" in r:
+                attr = str(r["attrs"][i])
+            else:
+                attr = predict_attribute(class_names[int(l)], b[7:9])
             preds_by_class[int(l)].append(
-                dict(token=r["token"], box=b, score=float(s))
+                dict(token=r["token"], box=b, score=float(s), attr=attr)
             )
 
     gts_by_class: Dict[int, Dict[str, np.ndarray]] = defaultdict(dict)
+    attrs_by_class: Dict[int, Dict[str, np.ndarray]] = defaultdict(dict)
+    any_gt_attrs = False
     for token, g in gt_by_token.items():
         boxes = to_gravity(g["boxes"])
         labels = np.asarray(g["labels"])
+        attrs = g.get("attrs")
+        if attrs is not None:
+            any_gt_attrs = True
+            attrs = np.asarray(attrs, dtype=object)
         for ci in range(len(class_names)):
-            sel = boxes[labels == ci]
-            if len(sel):
-                gts_by_class[ci][token] = sel
+            sel = labels == ci
+            if sel.any():
+                gts_by_class[ci][token] = boxes[sel]
+                if attrs is not None:
+                    attrs_by_class[ci][token] = attrs[sel]
 
     label_aps: Dict[str, Dict[float, float]] = {}
     label_tp: Dict[str, Dict[str, float]] = {}
@@ -217,6 +292,7 @@ def evaluate_detections(
             md = accumulate_class(
                 gts, preds, th, with_tp=(th == 2.0), yaw_period=yaw_period,
                 use_vel=use_vel,
+                gt_attrs=attrs_by_class.get(ci) if any_gt_attrs else None,
             )
             if md is None:
                 label_aps[cname][th] = float("nan")
@@ -269,6 +345,88 @@ def evaluate_detections(
         for k, v in tp_errors.items():
             print(f"  {ERR_NAME_MAPPING[k]}: {v:.4f}")
     return metrics
+
+
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamilton product of two (w, x, y, z) quaternions."""
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def format_submission(
+    results: Sequence[Dict],
+    info_by_token: Dict[str, Dict],
+    meta: Optional[Dict] = None,
+) -> Dict:
+    """Standard nuScenes detection submission JSON (the reference's
+    inherited `NuScenesDataset._format_bbox`, consumed at
+    `/root/reference/projects/mmdet3d_plugin/datasets/nuscenes_dataset.py:
+    184-240`): boxes lifted lidar -> ego -> global, yaw converted back from
+    the SECOND convention, velocity rotated to global, and each box given
+    the class/velocity-derived `attribute_name` (`predict_attribute`).
+
+    results: per-sample {token, boxes_3d [N,9] bottom-z lidar frame,
+    scores_3d, labels_3d}; info_by_token: token -> info dict carrying
+    lidar2ego_* / ego2global_* (the converter schema).
+    """
+    from bevformer_tpu.core.geometry import quat_to_rot
+
+    out: Dict[str, List[Dict]] = {}
+    for r in results:
+        token = r["token"]
+        info = info_by_token[token]
+        q_l2e = np.asarray(info["lidar2ego_rotation"], np.float64)
+        t_l2e = np.asarray(info["lidar2ego_translation"], np.float64)
+        q_e2g = np.asarray(info["ego2global_rotation"], np.float64)
+        t_e2g = np.asarray(info["ego2global_translation"], np.float64)
+        r_l2e, r_e2g = quat_to_rot(q_l2e), quat_to_rot(q_e2g)
+
+        boxes = np.asarray(r["boxes_3d"], np.float64).reshape(-1, 9)
+        annos = []
+        for b, s, l in zip(boxes, r["scores_3d"], r["labels_3d"]):
+            name = CLASS_NAMES[int(l)]
+            center = b[:3].copy()
+            center[2] += 0.5 * b[5]  # bottom -> gravity z
+            center = r_e2g @ (r_l2e @ center + t_l2e) + t_e2g
+            # internal yaw is SECOND convention: yaw_nusc = -yaw - pi/2
+            yaw = -float(b[6]) - np.pi / 2
+            q_box = np.array(
+                [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
+            )
+            q_global = _quat_mul(q_e2g, _quat_mul(q_l2e, q_box))
+            vel = r_e2g[:2, :2] @ (r_l2e[:2, :2] @ b[7:9])
+            annos.append(
+                dict(
+                    sample_token=token,
+                    translation=center.tolist(),
+                    size=b[3:6].tolist(),  # (w, l, h) — devkit order
+                    rotation=q_global.tolist(),
+                    velocity=vel.tolist(),
+                    detection_name=name,
+                    detection_score=float(s),
+                    attribute_name=predict_attribute(name, b[7:9]),
+                )
+            )
+        out[token] = annos
+    return dict(
+        meta=meta
+        or dict(
+            use_camera=True,
+            use_lidar=False,
+            use_radar=False,
+            use_map=False,
+            use_external=False,
+        ),
+        results=out,
+    )
 
 
 def filter_boxes_by_overlap(

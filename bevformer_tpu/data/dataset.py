@@ -131,10 +131,15 @@ class NuScenesTemporalDataset:
         labels = np.array(
             [self.class_to_idx.get(n, -1) for n in names], np.int64
         )
+        attrs = np.asarray(
+            info.get("gt_attrs", np.array([""] * len(names), dtype=object)),
+            dtype=object,
+        )
         keep = valid & (labels >= 0)
         boxes = boxes[keep]
         vel = np.nan_to_num(vel[keep])
         labels = labels[keep]
+        attrs = attrs[keep]
         # ObjectRangeFilter: BEV range on (x, y)
         pcr = self.cfg.pc_range
         in_range = (
@@ -144,6 +149,7 @@ class NuScenesTemporalDataset:
             & (boxes[:, 1] <= pcr[4])
         )
         boxes, vel, labels = boxes[in_range], vel[in_range], labels[in_range]
+        attrs = attrs[in_range]
         # 9-dim metric box with gravity-center z (loss convention)
         out = np.concatenate(
             [
@@ -154,7 +160,11 @@ class NuScenesTemporalDataset:
             ],
             axis=1,
         ).astype(np.float32)
-        return dict(gt_boxes=out, gt_labels=labels.astype(np.int32))
+        return dict(
+            gt_boxes=out,
+            gt_labels=labels.astype(np.int32),
+            gt_attrs=attrs,
+        )
 
     # ------------------------------------------------------------------
     # temporal queue (train)

@@ -160,6 +160,7 @@ def create_nuscenes_infos(
             ]
             boxes = nusc.get_boxes(lidar_token)
             locs, dims, rots, vels, names, valid = [], [], [], [], [], []
+            attrs = []
             for ann, box in zip(annotations, boxes):
                 # transform box from global to lidar frame
                 center = np.array(box.center) - e2g_t
@@ -191,6 +192,15 @@ def create_nuscenes_infos(
                 valid.append(
                     ann["num_lidar_pts"] + ann["num_radar_pts"] > 0
                 )
+                # GT attribute name ('' if none) — the devkit's eval loads
+                # these from the DB (`nuscnes_eval.py` DetectionBox GT);
+                # stored in infos so the self-contained evaluator can score
+                # mAAE without the devkit
+                attrs.append(
+                    nusc.get("attribute", ann["attribute_tokens"][0])["name"]
+                    if ann.get("attribute_tokens")
+                    else ""
+                )
             gt = (
                 np.concatenate(
                     [
@@ -206,6 +216,7 @@ def create_nuscenes_infos(
             info.update(
                 gt_boxes=gt,
                 gt_names=np.array(names),
+                gt_attrs=np.array(attrs, dtype=object),
                 gt_velocity=np.array(vels).reshape(-1, 2),
                 num_lidar_pts=np.array(
                     [a["num_lidar_pts"] for a in annotations]

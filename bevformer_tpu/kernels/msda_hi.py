@@ -12,16 +12,19 @@ in-kernel wcol build and row-combine are fully hidden. The head move is
 unavoidable for a (b*h, tiles) grid, so v3 uses a (b, tiles) grid with all
 heads INSIDE a step:
 
-  * Items are POINT-MAJOR: item i = p * q_pad + q (a tile is ct
-    consecutive sorted queries of ONE point stream). With the caller
-    emitting offset/weight channels in (level, head, point) order (free
-    via Dense param-column permutation), every payload channel is an
-    elementwise map of one ROW of the 2D-transposed flat activations —
-    ONE clean [n, C] -> [C, n] transpose (big minors, full-bandwidth)
-    replaces the 6D relayout, and channels stack contiguously into
-    per-tile payload blocks [b, nt, L*H*6, ct] in the compute dtype
-    (bf16-exact: column/row indices < 256).
-  * Point-major also kills the in-kernel point-sum: the per-query sum
+  * Tiles are QUERY-BLOCK-MAJOR with point streams innermost: tile
+    t = qblock * npnt + point (a tile is ct consecutive sorted queries of
+    ONE point stream; all npnt point tiles of a query block are adjacent,
+    so the per-(level, head) window panel — indexed by t // npnt — stays
+    resident across the npnt steps of a block instead of being re-DMAed
+    per stream). With the caller emitting offset/weight channels in
+    (level, head, point) order (free via Dense param-column permutation),
+    every payload channel is an elementwise map of one ROW of the
+    2D-transposed flat activations — ONE clean [n, C] -> [C, n] transpose
+    (big minors, full-bandwidth) replaces the 6D relayout, and channels
+    stack contiguously into per-tile payload blocks [b, nt, L*H*6, ct] in
+    the compute dtype (bf16-exact: column/row indices < 256).
+  * Per-point tiles also kill the in-kernel point-sum: the per-query sum
     over p happens as a dense reshape-sum on the output (no slot-lane
     padding, no iota matmul) and the backward's per-query cotangent is a
     contiguous block per tile.
@@ -406,6 +409,9 @@ def _forward_hi(
             )
         ]
         + [
+            # t // p here MUST mirror _kernel_hi's t // npnt (npnt == p is
+            # passed positionally into its functools.partial): both recover
+            # the query-block index from the block-major tile id.
             (lambda li_, wwp_: pl.BlockSpec(
                 (1, 1, 1, rm, wwp_),
                 lambda i, t, jr, li=li_: (i, jr[li, i, t // p], li % h, 0, 0),
@@ -440,8 +446,8 @@ def window_drop_mass_hi(
     heads, points, stride=4, halo=13, cap_tile=512,
 ):
     """In-graph audit: attention mass lost to out-of-window rows for the
-    heads-inner/point-major tiling (shared per-tile window across heads).
-    Returns a [n_levels] jnp array."""
+    heads-inner, query-block-major tiling (per-(query-block, head) window
+    shared across that head's point streams). Returns [n_levels]."""
     b, qn, _ = sampling_locations.shape
     h, p = heads, points
     l = len(spatial_shapes)
@@ -450,7 +456,6 @@ def window_drop_mass_hi(
     wrows = stride + halo + 1
     ntq = -(-qn // ct)
     q_pad = ntq * ct
-    nt = p * ntq
 
     loc = sampling_locations.astype(jnp.float32).reshape(b, qn, l, h, p, 2)
     attw = attention_weights.astype(jnp.float32).reshape(b, qn, l, h, p)

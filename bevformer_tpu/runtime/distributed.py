@@ -1,0 +1,126 @@
+"""Multi-process (multi-host) runtime: initialization + result collection.
+
+TPU-native replacement for the reference's NCCL bring-up and eval
+collection:
+  * `torch.distributed.launch` + `init_dist` (`/root/reference/tools/
+    dist_train.sh`, `tools/train.py:168-175`) -> `maybe_initialize()`,
+    driven by the env exported by our `tools/dist_train.sh`. After it runs,
+    `jax.devices()` spans every chip of every process and the ordinary
+    dp/sp mesh (`runtime/mesh.py`) carries gradient reduction over ICI/DCN.
+  * the filesystem-pickle eval gather (`bevformer/apis/test.py:116-160`:
+    per-rank tmpdir pickles + dist.barrier + rank-0 concat) ->
+    `allgather_results()`, an on-device padded all-gather
+    (`multihost_utils.process_allgather`) that needs no shared filesystem
+    and preserves rank order — the contiguous-video sampler guarantees
+    rank-r results are the r-th video segment, same as the reference's
+    collection comment (`apis/test.py:150-152`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_INITIALIZED = False
+
+
+def maybe_initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize jax.distributed iff a multi-process launch is requested.
+
+    Reads `JAX_COORDINATOR_ADDRESS` / `JAX_NUM_PROCESSES` / `JAX_PROCESS_ID`
+    (the env our tools/dist_*.sh export) unless given explicitly. MUST run
+    before any JAX computation touches a backend. Returns True when a
+    multi-process runtime was initialized.
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return True
+    nproc = int(
+        num_processes
+        if num_processes is not None
+        else os.environ.get("JAX_NUM_PROCESSES", "1") or 1
+    )
+    if nproc <= 1:
+        return False
+    coord = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS", "localhost:12355"
+    )
+    pid = int(
+        process_id
+        if process_id is not None
+        else os.environ.get("JAX_PROCESS_ID", "0")
+    )
+    import jax
+
+    # Cross-process collectives on the CPU backend (tests, CPU pods) need a
+    # real transport; 'gloo' ships with jaxlib. TPU backends ignore this.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    _INITIALIZED = True
+    return True
+
+
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (dist.barrier
+    equivalent, `apis/test.py:138`). No-op single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def allgather_results(local: List[np.ndarray], width: int) -> List[np.ndarray]:
+    """Gather per-process detection lists to EVERY process, rank order.
+
+    `local`: this process's per-sample result arrays, each [n_i, width]
+    (variable n_i; width = box dims + score + label...). Pads to the global
+    max sample count and box count, all-gathers on-device, strips padding.
+    Replaces `collect_results_cpu` (`apis/test.py:116-160`) without a
+    shared filesystem.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return list(local)
+
+    n_samples = np.array([len(local)], np.int32)
+    counts = np.array([a.shape[0] for a in local], np.int32)
+    maxes = multihost_utils.process_allgather(
+        jnp.asarray(
+            [len(local), int(counts.max(initial=0))], dtype=jnp.int32
+        )
+    )  # [nproc, 2]
+    max_s = int(np.max(maxes[:, 0]))
+    max_n = max(1, int(np.max(maxes[:, 1])))
+
+    packed = np.zeros((max_s, max_n, width), np.float32)
+    sizes = np.zeros((max_s,), np.int32)
+    for i, a in enumerate(local):
+        sizes[i] = a.shape[0]
+        if a.shape[0]:
+            packed[i, : a.shape[0]] = a
+    n_here = np.int32(len(local))
+
+    g_packed = np.asarray(multihost_utils.process_allgather(jnp.asarray(packed)))
+    g_sizes = np.asarray(multihost_utils.process_allgather(jnp.asarray(sizes)))
+    g_ns = np.asarray(multihost_utils.process_allgather(jnp.asarray(n_here)))
+
+    out: List[np.ndarray] = []
+    for r in range(g_packed.shape[0]):
+        for i in range(int(g_ns[r])):
+            out.append(g_packed[r, i, : int(g_sizes[r, i])].copy())
+    return out

@@ -209,7 +209,25 @@ class VideoEvaluator:
                     rec["drop_frac"] > self.drop_tol
                     or rec["capacity_clipped"] > 0
                 ):
-                    print(f"[fused-audit] WARNING: {rec}", flush=True)
+                    # ACT, don't just log: offsets can drift past the halo
+                    # only after real history accumulates (frame > 0), so a
+                    # mid-run failure auto-widens + recompiles exactly like
+                    # frame 0. Without the guard, fail loudly: a warning
+                    # that scrolls by is not an exactness guarantee.
+                    if self.fused_guard:
+                        print(
+                            f"[fused-audit] mid-run exactness loss ({rec}); "
+                            "auto-widening",
+                            flush=True,
+                        )
+                        self._guard_frame(images, can, l2i)
+                    else:
+                        raise RuntimeError(
+                            "[fused-audit] fused path lost attention mass "
+                            f"mid-run with the guard disabled: {rec}. "
+                            "Re-run without --no-fused-guard, or with "
+                            "--parity for the exact XLA path."
+                        )
         self._frame_i += 1
         bev, dec = self._step(
             images,

@@ -64,11 +64,24 @@ def maybe_shard(x: jnp.ndarray, *spec) -> jnp.ndarray:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host batch onto the mesh, sharded over 'dp' on axis 0."""
+    """Place a host batch onto the mesh, sharded over 'dp' on axis 0.
+
+    Single-process: `tree` holds the GLOBAL batch. Multi-process
+    (jax.distributed initialized): `tree` holds this process's LOCAL
+    slice — the per-rank sampler shards the dataset — and the global
+    jax.Array is assembled from the per-process pieces
+    (`make_array_from_process_local_data`), the pjit analogue of DDP's
+    per-rank dataloaders.
+    """
+    multiproc = jax.process_count() > 1
+
     def put(x):
-        x = jnp.asarray(x)
+        x = np.asarray(x)
         spec = P("dp") if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(jnp.asarray(x), sharding)
 
     return jax.tree.map(put, tree)
 

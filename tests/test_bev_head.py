@@ -6,6 +6,10 @@ import jax.numpy as jnp
 
 from bevformer_tpu.models import bev_head
 from tests.test_model import mini_config
+import pytest
+
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
 
 
 def test_anchor_grid():

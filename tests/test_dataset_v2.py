@@ -10,6 +10,9 @@ from bevformer_tpu.configs import get_config
 from bevformer_tpu.data import synth
 from bevformer_tpu.data.dataset_v2 import NuScenesTemporalDatasetV2
 
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synth_root(tmp_path_factory):

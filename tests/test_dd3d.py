@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from bevformer_tpu.models import dd3d
 from tests.test_model_v2 import mini_v2_config
 
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
+
 
 def test_quat_matrix_roundtrip():
     rng = np.random.RandomState(0)

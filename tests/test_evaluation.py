@@ -182,3 +182,123 @@ def test_overlap_filter_geometry():
     gt = {"s0": {"boxes": boxes[:2], "labels": np.array([0, 0])}}
     fr, fg = apply_overlap_filter(results, gt, {"s0": l2i}, (h, w))
     assert len(fr[0]["boxes_3d"]) == 1 and len(fg["s0"]["boxes"]) == 1
+
+
+def test_predict_attribute_rule():
+    """The mmdet3d `_format_bbox` class/velocity attribute rule, pinned
+    value-by-value (reference consumer: `datasets/nuscenes_dataset.py`
+    inherited format_results; table `nuscenes_mono_dataset.py:51-62`)."""
+    from bevformer_tpu.core.evaluation import predict_attribute
+
+    fast, slow = (1.0, 0.0), (0.05, 0.05)
+    assert predict_attribute("car", fast) == "vehicle.moving"
+    assert predict_attribute("truck", fast) == "vehicle.moving"
+    assert predict_attribute("trailer", fast) == "vehicle.moving"
+    assert predict_attribute("bus", fast) == "vehicle.moving"
+    assert predict_attribute("construction_vehicle", fast) == "vehicle.moving"
+    assert predict_attribute("bicycle", fast) == "cycle.with_rider"
+    assert predict_attribute("motorcycle", fast) == "cycle.with_rider"
+    assert predict_attribute("pedestrian", fast) == "pedestrian.moving"
+    assert predict_attribute("car", slow) == "vehicle.parked"
+    assert predict_attribute("truck", slow) == "vehicle.parked"
+    assert predict_attribute("bus", slow) == "vehicle.stopped"
+    assert predict_attribute("pedestrian", slow) == "pedestrian.standing"
+    assert predict_attribute("bicycle", slow) == "cycle.without_rider"
+    assert predict_attribute("barrier", fast) == ""
+    assert predict_attribute("traffic_cone", slow) == ""
+    # threshold is STRICTLY greater than 0.2 m/s
+    assert predict_attribute("car", (0.2, 0.0)) == "vehicle.parked"
+    assert predict_attribute("car", (0.21, 0.0)) == "vehicle.moving"
+
+
+def test_maae_scored_with_gt_attrs():
+    """With GT attributes present, velocity-consistent predictions score
+    mAAE ~ 0 (attr_err from matching), and NDS rises accordingly; GT ''
+    attrs are excluded (devkit NaN cummean)."""
+    from bevformer_tpu.core.evaluation import predict_attribute
+
+    rng = np.random.RandomState(2)
+    tokens = [f"t{i}" for i in range(4)]
+    gt = _mk_gt(rng, tokens)
+    for t in tokens:
+        g = gt[t]
+        g["boxes"][:, 7:9] = rng.randn(len(g["boxes"]), 2)  # velocities
+        g["attrs"] = np.array(
+            [
+                predict_attribute(CLASS_NAMES[l], b[7:9])
+                for b, l in zip(g["boxes"], g["labels"])
+            ],
+            dtype=object,
+        )
+    results = [
+        dict(
+            token=t,
+            boxes_3d=gt[t]["boxes"].copy(),
+            scores_3d=np.linspace(0.9, 0.5, len(gt[t]["boxes"])),
+            labels_3d=gt[t]["labels"].copy(),
+        )
+        for t in tokens
+    ]
+    m = evaluate_detections(results, gt)
+    assert m["tp_errors"]["attr_err"] < 0.01, m["tp_errors"]
+    assert m["nd_score"] > 0.98, m["nd_score"]
+
+    # zero the predicted velocities: moving GT boxes now mismatch
+    # (vehicle.moving vs vehicle.parked) and mAAE must rise
+    results_bad = [
+        dict(r, boxes_3d=np.concatenate(
+            [r["boxes_3d"][:, :7], np.zeros_like(r["boxes_3d"][:, 7:9])], 1
+        ))
+        for r in results
+    ]
+    m2 = evaluate_detections(results_bad, gt)
+    assert m2["tp_errors"]["attr_err"] > 0.2, m2["tp_errors"]
+
+
+def test_format_submission_schema_and_frames():
+    """Submission writer: identity lidar2ego/ego2global -> translation is
+    the gravity center; a pure-yaw ego rotation rotates centers, velocity
+    and box yaw consistently; every box carries attribute_name."""
+    from bevformer_tpu.core.evaluation import format_submission
+    from bevformer_tpu.core.geometry import quat_yaw
+
+    box = np.zeros((1, 9))
+    box[0, :3] = [10.0, 5.0, -1.0]
+    box[0, 3:6] = [2.0, 4.0, 1.5]
+    box[0, 6] = 0.3
+    box[0, 7:9] = [3.0, 0.0]
+    res = [dict(token="tok", boxes_3d=box, scores_3d=[0.9], labels_3d=[0])]
+    ident = dict(
+        lidar2ego_rotation=[1, 0, 0, 0], lidar2ego_translation=[0, 0, 0],
+        ego2global_rotation=[1, 0, 0, 0], ego2global_translation=[0, 0, 0],
+    )
+    sub = format_submission(res, {"tok": ident})
+    assert set(sub) == {"meta", "results"}
+    rec = sub["results"]["tok"][0]
+    assert rec["detection_name"] == "car"
+    assert rec["attribute_name"] == "vehicle.moving"
+    np.testing.assert_allclose(
+        rec["translation"], [10.0, 5.0, -1.0 + 0.75], atol=1e-9
+    )
+    np.testing.assert_allclose(rec["velocity"], [3.0, 0.0], atol=1e-12)
+    # yaw back-conversion: internal (SECOND) 0.3 -> nusc -0.3 - pi/2
+    got_yaw = quat_yaw(np.array(rec["rotation"]))
+    want = -0.3 - np.pi / 2
+    assert abs(((got_yaw - want + np.pi) % (2 * np.pi)) - np.pi) < 1e-9
+
+    # 90-degree ego yaw: lidar +x becomes global +y
+    yaw = np.pi / 2
+    rot = dict(
+        lidar2ego_rotation=[1, 0, 0, 0], lidar2ego_translation=[0, 0, 0],
+        ego2global_rotation=[np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)],
+        ego2global_translation=[100.0, 0.0, 0.0],
+    )
+    sub2 = format_submission(res, {"tok": rot})
+    rec2 = sub2["results"]["tok"][0]
+    np.testing.assert_allclose(
+        rec2["translation"], [100.0 - 5.0, 10.0, -0.25], atol=1e-9
+    )
+    np.testing.assert_allclose(rec2["velocity"], [0.0, 3.0], atol=1e-9)
+    got2 = quat_yaw(np.array(rec2["rotation"]))
+    want2 = want + yaw
+    assert abs(((got2 - want2 + np.pi) % (2 * np.pi)) - np.pi) < 1e-9

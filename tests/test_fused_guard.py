@@ -14,6 +14,9 @@ import jax.numpy as jnp
 from bevformer_tpu.configs import get_config
 from bevformer_tpu.models import BEVFormer
 
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
+
 
 def _toy_cfg(**kw):
     cfg = get_config("bevformer_tiny")
@@ -111,6 +114,52 @@ def test_audit_reports_drop_and_guard_restores_exactness():
     a = np.asarray(out_exact["all_bbox_preds"])
     b = np.asarray(out_fused["all_bbox_preds"])
     assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
+
+
+def test_midrun_audit_acts_not_logs():
+    """Exactness loss appearing at frame 7 (not frame 0) must trigger the
+    auto-widen (guard on) or raise (guard off) — a scrolled-by warning is
+    not an exactness guarantee. Drift is simulated by swapping in params
+    whose TSA offsets exceed the halo after 6 clean frames, mirroring a
+    checkpoint whose offsets drifted during training."""
+    from bevformer_tpu.runtime.eval import VideoEvaluator
+
+    cfg = _toy_cfg()
+    rng = np.random.RandomState(0)
+    model = BEVFormer(cfg=cfg)
+    batch = _toy_batch(cfg, rng)
+    params = _init(model, batch)
+    poisoned = _poison_tsa_offsets(params, 12.0)
+
+    def frame(i):
+        return dict(
+            images=np.asarray(batch[0][0]),
+            can_bus=np.zeros(18),
+            lidar2img=np.asarray(batch[2][0]),
+            scene_token="s0",
+            token=f"t{i}",
+        )
+
+    ev = VideoEvaluator(model, params, audit_interval=7, fused_guard=True)
+    for i in range(7):
+        ev.infer_frame(frame(i))
+    assert all(r["drop_frac"] <= 1e-6 for r in ev.audit_log), ev.audit_log
+    # the drift happens mid-run: frame 7's periodic audit must catch it
+    ev.params = poisoned
+    ev._build()
+    halo_before = ev.cfg.tsa_fused_halo
+    ev.infer_frame(frame(7))
+    assert ev.cfg.tsa_fused_halo and ev.cfg.tsa_fused_halo > (halo_before or 6)
+    assert ev.audit_log[-1]["drop_frac"] <= 1e-6, ev.audit_log[-1]
+
+    # without the guard the same event must raise, not warn
+    ev2 = VideoEvaluator(model, params, audit_interval=7, fused_guard=False)
+    for i in range(7):
+        ev2.infer_frame(frame(i))
+    ev2.params = poisoned
+    ev2._build()
+    with pytest.raises(RuntimeError, match="fused-audit"):
+        ev2.infer_frame(frame(7))
 
 
 def test_capacity_clip_audited():

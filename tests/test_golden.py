@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from tests.test_model import mini_config
+import pytest
+
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden_mini_forward.npz")
 

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 
 from bevformer_tpu.configs import BEVFormerConfig, DataConfig, get_config
 
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
+
 
 def mini_config(**kw):
     base = dict(

@@ -15,6 +15,9 @@ import jax.numpy as jnp
 
 from bevformer_tpu.kernels import ms_deform_attn_jnp
 
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
+
 
 def torch_oracle(value, spatial_shapes, locations, weights):
     """value [B,K,H,D], locations [B,Q,H,L,P,2], weights [B,Q,H,L,P]."""

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from bevformer_tpu.kernels import ms_deform_attn_jnp
 from tests.test_msda import _coherent_locations
 
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
+
 
 def to_flat_lhp(loc, w):
     """[b, q, h, l, p, (2)] -> flat (l, h, p, (2)) channel layout."""

@@ -5,6 +5,10 @@ import jax
 import jax.numpy as jnp
 
 from tests.test_model import mini_config
+import pytest
+
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
 
 
 def make_batch(cfg, bs=4, t=2, g=6):

@@ -6,6 +6,10 @@ import jax.numpy as jnp
 
 from tests.test_dd3d import _mk_targets
 from tests.test_model_v2 import mini_v2_config
+import pytest
+
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
 
 
 def make_batch_v2(cfg, bs=1, with_mono=False):

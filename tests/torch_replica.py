@@ -597,7 +597,7 @@ class BEVFormerEncoder(nn.Module):
         self.npp = num_points_in_pillar
 
     def forward(self, bev_query, value, bev_pos, lidar2img, img_shape,
-                spatial_shapes, bev_h, bev_w):
+                spatial_shapes, bev_h, bev_w, prev_bev=None, shift=None):
         bs = bev_query.shape[0]
         # 3D pillar refs (`encoder.py:47-85`), normalized: z sampled at
         # (0.5 .. Z-0.5)/Z with Z the METRIC pillar extent
@@ -618,20 +618,63 @@ class BEVFormerEncoder(nn.Module):
         ref2d = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1).reshape(
             1, q, 1, 2
         ).repeat(bs, 1, 1, 1)
-        hybrid = torch.cat([ref2d, ref2d], 0)  # (prev=cur, cur), bs*2
+        if prev_bev is not None:
+            # second frame (`encoder.py:196-212`): slot 0 = ego-shifted
+            # refs sampling the (rotated) prev BEV, slot 1 = current grid;
+            # the shipped code DOES clone shift_ref_2d (the "bug" comment
+            # at `encoder.py:196` describes code that never shipped)
+            shift_ref = ref2d.clone()
+            shift_ref = shift_ref + shift[None, None, None, :]
+            hybrid = torch.cat([shift_ref, ref2d], 0)
+            # TSA value is stacked ONCE with the ENCODER INPUT query and
+            # reused by every layer (`encoder.py:206-208` stacks before
+            # the layer loop)
+            tsa_value_fixed = torch.cat([prev_bev, bev_query], 0)
+        else:
+            hybrid = torch.cat([ref2d, ref2d], 0)  # (prev=cur, cur), bs*2
+            tsa_value_fixed = None
 
         query = bev_query
         for layer in self.layers:
-            tsa_value = torch.cat([query, query], 0)  # [bs*2, q, e]
+            if tsa_value_fixed is None:
+                tsa_value = torch.cat([query, query], 0)  # [bs*2, q, e]
+            else:
+                tsa_value = tsa_value_fixed
             query = layer(query, value, bev_pos, tsa_value, hybrid,
                           ref_cam, bev_mask, spatial_shapes,
                           (bev_h, bev_w))
         return query
 
 
+def rotate_nearest(img_chw, angle_deg, center_xy):
+    """torchvision `F.rotate` (tensor path, NEAREST, zero fill) for the
+    prev-BEV rotation (`transformer.py:143-156`): torchvision passes
+    `-angle` into `_get_inverse_affine_matrix` then samples with
+    `grid_sample(align_corners=False, mode='nearest')`, i.e.
+      src = R(angle) @ (out + 0.5 - c) + c - 0.5, nearest-rounded.
+    (torchvision itself is not installed in this container.)"""
+    c, h, w = img_chw.shape
+    cx, cy = center_xy
+    r = float(angle_deg) * np.pi / 180.0
+    cos_r, sin_r = np.cos(r), np.sin(r)
+    ys = torch.arange(h, dtype=torch.float32) + 0.5 - cy
+    xs = torch.arange(w, dtype=torch.float32) + 0.5 - cx
+    yy, xx = torch.meshgrid(ys, xs, indexing="ij")
+    src_x = cos_r * xx - sin_r * yy + (cx - 0.5)
+    src_y = sin_r * xx + cos_r * yy + (cy - 0.5)
+    ix = torch.round(src_x).long()
+    iy = torch.round(src_y).long()
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ixc = ix.clamp(0, w - 1)
+    iyc = iy.clamp(0, h - 1)
+    out = img_chw[:, iyc, ixc]
+    return torch.where(valid[None], out, torch.zeros_like(out))
+
+
 class PerceptionTransformer(nn.Module):
-    """`modules/transformer.py:27-289` (first-frame eval: no prev BEV, no
-    rotate; can-bus MLP still applied)."""
+    """`modules/transformer.py:27-289` (eval; second-frame path: CAN-bus
+    ego shift + prev-BEV rotate + hybrid TSA queue,
+    `transformer.py:104-201`)."""
 
     def __init__(self, embed_dims, num_levels, num_cams, encoder_layers,
                  decoder_layers, num_heads, feedforward_channels,
@@ -653,12 +696,42 @@ class PerceptionTransformer(nn.Module):
         self.decoder = DetectionTransformerDecoder(
             decoder_layers, embed_dims, num_heads, feedforward_channels,
         )
+        self.pc_range = pc_range
+        self.rotate_center = (100.0, 100.0)
 
     def forward(self, mlvl_feats, bev_queries, object_query_embed, bev_pos,
-                bev_h, bev_w, can_bus, lidar2img, img_shape, reg_branches):
+                bev_h, bev_w, can_bus, lidar2img, img_shape, reg_branches,
+                prev_bev=None):
         bs = mlvl_feats[0].shape[0]
         e = self.embed_dims
         queries = bev_queries.unsqueeze(0).repeat(bs, 1, 1)
+
+        # ego-motion grid shift (`transformer.py:122-141`), use_shift=1
+        pc = self.pc_range
+        grid_length_y = (pc[4] - pc[1]) / bev_h
+        grid_length_x = (pc[3] - pc[0]) / bev_w
+        delta_x = float(can_bus[0, 0])
+        delta_y = float(can_bus[0, 1])
+        ego_angle = float(can_bus[0, -2]) / np.pi * 180.0
+        translation_length = np.sqrt(delta_x ** 2 + delta_y ** 2)
+        translation_angle = np.arctan2(delta_y, delta_x) / np.pi * 180.0
+        bev_angle = ego_angle - translation_angle
+        shift_y = (translation_length * np.cos(bev_angle / 180.0 * np.pi)
+                   / grid_length_y / bev_h)
+        shift_x = (translation_length * np.sin(bev_angle / 180.0 * np.pi)
+                   / grid_length_x / bev_w)
+        shift = torch.tensor([shift_x, shift_y], dtype=torch.float32)
+
+        if prev_bev is not None:
+            # per-sample prev-BEV rotation by the CAN-bus angle delta
+            # (`transformer.py:143-156`), torchvision-rotate semantics
+            rotation_angle = float(can_bus[0, -1])
+            img = prev_bev[0].reshape(bev_h, bev_w, -1).permute(2, 0, 1)
+            img = rotate_nearest(img, rotation_angle, self.rotate_center)
+            prev_bev = img.permute(1, 2, 0).reshape(
+                1, bev_h * bev_w, -1
+            )
+
         queries = queries + self.can_bus_mlp(can_bus)[:, None, :]
 
         feat_flat = []
@@ -676,6 +749,7 @@ class PerceptionTransformer(nn.Module):
         bev_embed = self.encoder(
             queries, value[0].reshape(cams, -1, bs, e), bev_pos,
             lidar2img, img_shape, spatial_shapes, bev_h, bev_w,
+            prev_bev=prev_bev, shift=shift,
         )
 
         query_pos = object_query_embed[:, :e].unsqueeze(0).repeat(bs, 1, 1)
@@ -747,7 +821,8 @@ class BEVFormerHead(nn.Module):
             cfg.sca_num_points, cfg.tsa_num_points, cfg.pc_range,
         )
 
-    def forward(self, mlvl_feats, can_bus, lidar2img, img_shape):
+    def forward(self, mlvl_feats, can_bus, lidar2img, img_shape,
+                prev_bev=None):
         c = self.cfg
         bs = mlvl_feats[0].shape[0]
         bev_pos = self.positional_encoding(bs)
@@ -755,6 +830,7 @@ class BEVFormerHead(nn.Module):
             mlvl_feats, self.bev_embedding.weight,
             self.query_embedding.weight, bev_pos, c.bev_h, c.bev_w,
             can_bus, lidar2img, img_shape, self.reg_branches,
+            prev_bev=prev_bev,
         )
         x0, y0, z0, x1, y1, z1 = c.pc_range
         out_cls, out_coord = [], []
@@ -788,7 +864,7 @@ class BEVFormerDetector(nn.Module):
         )
         self.pts_bbox_head = BEVFormerHead(cfg, cfg.num_feature_levels)
 
-    def forward(self, images, can_bus, lidar2img):
+    def forward(self, images, can_bus, lidar2img, prev_bev=None):
         c = self.cfg
         bs, cams, h, w, _ = images.shape
         x = images.reshape(bs * cams, h, w, 3).permute(0, 3, 1, 2)
@@ -799,5 +875,5 @@ class BEVFormerDetector(nn.Module):
             for f in feats
         ]
         return self.pts_bbox_head(
-            mlvl, can_bus, lidar2img, c.data.img_size
+            mlvl, can_bus, lidar2img, c.data.img_size, prev_bev=prev_bev
         )

@@ -62,6 +62,13 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host bring-up MUST precede any backend use
+    from bevformer_tpu.runtime.distributed import (
+        allgather_results,
+        maybe_initialize,
+    )
+
+    maybe_initialize()
     import jax
     import numpy as np
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -136,7 +143,39 @@ def main():
         fused_guard=fused_on and not args.no_fused_guard,
     )
     n = len(ds) if args.max_samples is None else min(len(ds), args.max_samples)
-    results = evaluator.run(ds, indices=range(n))
+    # Multi-process: contiguous per-rank video segments (the reference's
+    # eval DistributedSampler, `samplers/distributed_sampler.py:22-41`) so
+    # temporal state never crosses a rank boundary; results are re-merged
+    # in rank order == global order.
+    rank, nproc = jax.process_index(), jax.process_count()
+    per = -(-n // nproc)
+    lo, hi = rank * per, min((rank + 1) * per, n)
+    results = evaluator.run(ds, indices=range(lo, hi))
+    if nproc > 1:
+        packed = [
+            np.concatenate(
+                [
+                    np.asarray(r["boxes_3d"], np.float32).reshape(-1, 9),
+                    np.asarray(r["scores_3d"], np.float32).reshape(-1, 1),
+                    np.asarray(r["labels_3d"], np.float32).reshape(-1, 1),
+                ],
+                axis=1,
+            )
+            for r in results
+        ]
+        gathered = allgather_results(packed, width=11)
+        assert len(gathered) == n, (len(gathered), n)
+        results = [
+            dict(
+                token=ds.infos[i]["token"],
+                boxes_3d=a[:, :9],
+                scores_3d=a[:, 9],
+                labels_3d=a[:, 10].astype(np.int64),
+            )
+            for i, a in enumerate(gathered)
+        ]
+        if rank != 0:
+            return
     if evaluator.audit_log:
         import json as _json
 
@@ -167,7 +206,25 @@ def main():
             json.dump(serial, f)
         print(f"wrote {args.out}")
 
-    if args.format_only or args.eval == "bbox":
+    if args.format_only or args.out:
+        # standard nuScenes submission JSON (format_results parity):
+        # global-frame boxes + the class/velocity default attribute_name
+        from bevformer_tpu.core.evaluation import format_submission
+
+        info_by_token = {ds.infos[i]["token"]: ds.infos[i] for i in range(n)}
+        sub = format_submission(results, info_by_token)
+        sub_path = (
+            os.path.splitext(args.out)[0] + "_nusc.json"
+            if args.out
+            else "results_nusc.json"
+        )
+        with open(sub_path, "w") as f:
+            json.dump(sub, f)
+        print(f"wrote nuScenes submission {sub_path}")
+        if args.format_only:
+            return
+
+    if args.eval == "bbox":
         # build GT lookup from infos
         gt_by_token = {}
         for i in range(n):
@@ -177,7 +234,8 @@ def main():
             if len(boxes):
                 boxes[:, 2] -= 0.5 * boxes[:, 5]  # gravity -> bottom z
             gt_by_token[info["token"]] = dict(
-                boxes=boxes, labels=ann["gt_labels"]
+                boxes=boxes, labels=ann["gt_labels"],
+                attrs=ann.get("gt_attrs"),
             )
         if args.overlap_test:
             from bevformer_tpu.core.evaluation import apply_overlap_filter

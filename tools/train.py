@@ -13,7 +13,9 @@ converted nuScenes or `tools/create_data.py synth`).
 import argparse
 import json
 import os
+import queue
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -57,6 +59,11 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host bring-up MUST precede any backend use (the reference calls
+    # init_dist before model build, `tools/train.py:168-175`)
+    from bevformer_tpu.runtime.distributed import maybe_initialize
+
+    maybe_initialize()
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -92,17 +99,21 @@ def main():
     )
     print(f"dataset: {len(ds)} samples")
 
-    n_dev = len(jax.devices())
+    n_dev = len(jax.devices())  # global across processes after dist init
     dp = args.dp or max(1, n_dev // args.sp)
     mesh = mesh_lib.make_mesh(dp=dp, sp=args.sp)
     global_bs = dp * cfg.optim.samples_per_gpu
+    # each process hosts its local slice of the batch (shard_batch
+    # assembles the global array); the rank-sharded sampler feeds it
+    nproc = jax.process_count()
+    local_bs = max(1, global_bs // nproc)
     steps_per_epoch = max(1, len(ds) // global_bs)
     total_steps = steps_per_epoch * cfg.optim.total_epochs
     if args.max_iters:
         total_steps = min(total_steps, args.max_iters)
     print(
-        f"mesh dp={dp} sp={args.sp}; global batch {global_bs}; "
-        f"{total_steps} steps"
+        f"mesh dp={dp} sp={args.sp}; global batch {global_bs} "
+        f"({nproc} proc x {local_bs}); {total_steps} steps"
     )
 
     model = BEVFormer(cfg=cfg)
@@ -135,12 +146,12 @@ def main():
     def collect_batch(step):
         samples = []
         tries = 0
-        while len(samples) < global_bs:
+        while len(samples) < local_bs:
             s = ds.get_train_sample(next_index(step))
             tries += 1
             if s is not None:
                 samples.append(s)
-            if tries > 10 * global_bs + 100:
+            if tries > 10 * local_bs + 100:
                 raise RuntimeError("dataset yielded no valid samples")
         return train.Batch(
             images=np.stack([s["images"] for s in samples]),
@@ -197,8 +208,10 @@ def main():
         log_path = os.path.join(work_dir, "train_log.jsonl")
         t_start = time.time()
         start_step = int(state.step)
+        prefetch = BatchPrefetcher(collect_batch, start_step, total_steps)
         for step in range(start_step, total_steps):
-            batch = mesh_lib.shard_batch(mesh, collect_batch(step))
+            raw, host_ms, wait_ms = prefetch.get()
+            batch = mesh_lib.shard_batch(mesh, raw)
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
             if audit_fn is not None and step % args.fused_audit_interval == 0:
                 drop, tot, clipped = audit_fn(state.params, batch)
@@ -228,6 +241,8 @@ def main():
                     step=step,
                     lr=float(sched(step)),
                     time=round(time.time() - t_start, 1),
+                    host_ms=round(host_ms, 1),
+                    data_wait_ms=round(wait_ms, 1),
                 )
                 print(json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in m.items()}))
                 with open(log_path, "a") as f:
@@ -382,7 +397,9 @@ def _run_eval(cfg, model, state, data_root, work_dir, step):
         boxes = ann["gt_boxes"].copy()
         if len(boxes):
             boxes[:, 2] -= 0.5 * boxes[:, 5]
-        gt[ds.infos[i]["token"]] = dict(boxes=boxes, labels=ann["gt_labels"])
+        gt[ds.infos[i]["token"]] = dict(
+            boxes=boxes, labels=ann["gt_labels"], attrs=ann.get("gt_attrs")
+        )
     m = evaluate_detections(results, gt, class_names=CLASS_NAMES, verbose=True)
     entry = dict(step=step, NDS=m["nd_score"], mAP=m["mean_ap"])
     print(_json.dumps(entry))
@@ -396,6 +413,41 @@ class _Placeholder:
 
     def update(self, grads, state, params=None):
         return grads, state
+
+
+class BatchPrefetcher:
+    """Overlap host-side batch assembly (JPEG decode + resize + stacking)
+    with device compute — the reference overlaps via dataloader worker
+    processes (`datasets/builder.py:83-102`); here ONE daemon thread stays
+    `depth` batches ahead (numpy work releases the GIL in the hot parts).
+
+    `get()` returns (batch, host_ms, wait_ms): host_ms = wall time the
+    thread spent building the batch, wait_ms = time the trainer blocked
+    waiting for it — wait_ms ~ 0 means data loading is fully hidden."""
+
+    def __init__(self, fn, start_step, total_steps, depth=2):
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                for step in range(start_step, total_steps):
+                    t0 = time.time()
+                    b = fn(step)
+                    self._q.put((b, (time.time() - t0) * 1000.0))
+            except BaseException as e:  # surface in get()
+                self._err = e
+                self._q.put((None, 0.0))
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def get(self):
+        t0 = time.time()
+        b, host_ms = self._q.get()
+        if b is None and self._err is not None:
+            raise self._err
+        return b, host_ms, (time.time() - t0) * 1000.0
 
 
 if __name__ == "__main__":
