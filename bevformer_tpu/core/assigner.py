@@ -95,6 +95,10 @@ def hungarian_match(
         ) + bbox3d_l1_cost(bp, gn, weight=bbox_weight)
 
     cost = jax.vmap(one)(cls_pred, bbox_pred, gt_norm, gt_labels)  # [B, Q, G]
+    # more GTs than queries is infeasible for the matcher (the on-device
+    # augmenting-path loop would never terminate -> TPU watchdog kills the
+    # worker); match only the first Q GTs — degenerate toy configs only
+    num_gt = jnp.minimum(num_gt, q)
     # mask out padded gt columns so the solver never prefers them
     col_valid = jnp.arange(g)[None, :] < num_gt[:, None]
     cost = jnp.where(col_valid[:, None, :], cost, 1e8)

@@ -273,6 +273,177 @@ def _forward(
     return out[:, :, :n]
 
 
+def _kernel_conv(wrows, ncc, cc, stride, compute_dtype,
+                 jrow_ref, pay_ref, val_ref, w_ref, out_ref, smp_ref):
+    """_kernel with the 3x3 conv CONTRACTION folded in: sampled rows land
+    in VMEM scratch `smp_ref` [9*C, ct] and ONE big matmul with the
+    resident conv weight `w_ref` [Cout, 9*C] writes [Cout, ct] — the
+    [b, 9*C, n] im2col (9x the input, 160 MB per stage-2 block at base)
+    never round-trips HBM and the external fp32 einsum it fed disappears.
+    Extra MXU flops = exactly the conv (Cout/(wrows*wwp) ~ 10% of the
+    sampling matmuls), paid in bf16 instead of the fp32 einsum."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    j = jrow_ref[i, t]
+    wwp = val_ref.shape[-1]
+    c = ncc * cc
+
+    base = (j * stride).astype(jnp.float32)
+    cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, pay_ref.shape[-1]), 0)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    for tap in range(K * K):
+        pay = pay_ref[0, tap * 8 : tap * 8 + 8]
+        x0 = pay[0:1]
+        wx0 = pay[1:2]
+        wx1 = pay[2:3]
+        y0 = pay[3:4]
+        wy0 = pay[4:5]
+        wy1 = pay[5:6]
+        xi = x0.astype(jnp.int32)
+        wcol = (
+            jnp.where(cio == xi, wx0, 0.0)
+            + jnp.where(cio == xi + 1, wx1, 0.0)
+        ).astype(compute_dtype)
+        wr = [
+            jnp.where(y0 == base + float(r), wy0, 0.0)
+            + jnp.where(y0 == base + float(r) - 1.0, wy1, 0.0)
+            for r in range(wrows)
+        ]
+        for cci in range(ncc):
+            val = val_ref[0, 0, cci]  # [wrows*cc, wwp]
+            tm = jnp.dot(
+                val, wcol, preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [wrows*cc, ct]
+            acc = jnp.zeros((cc, pay_ref.shape[-1]), jnp.float32)
+            for r in range(wrows):
+                acc = acc + wr[r] * tm[r * cc : (r + 1) * cc]
+            smp_ref[tap * c + cci * cc : tap * c + (cci + 1) * cc, :] = (
+                acc.astype(compute_dtype)
+            )
+    out_ref[0] = jnp.dot(
+        w_ref[...], smp_ref[...],
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conv_stride", "clip_y", "cap_tile", "stride", "cc",
+        "compute_dtype", "interpret",
+    ),
+)
+def _forward_conv(
+    x, off_y, off_x, mask, weight, *,
+    conv_stride=1, clip_y=6.0, cap_tile=512, stride=4, cc=64,
+    compute_dtype=jnp.bfloat16, interpret=False,
+):
+    """Deformable im2col + conv contraction in one kernel.
+
+    x [B,H,W,C]; off_y/off_x/mask [B,OH,OW,9]; weight [9*C, Cout] (im2col
+    row order: tap-major then channel, matching `_forward`'s output rows)
+    -> [B, Cout, OH*OW]."""
+    b, h, w, c = x.shape
+    _, oh, ow, _ = off_y.shape
+    cout = weight.shape[1]
+    n = oh * ow
+    ct = min(cap_tile, 256) if (conv_stride > 1 or c >= 512) else cap_tile
+    n_pad = _round_up(n, ct)
+    nt = n_pad // ct
+    wrows = _wrows_for(ct, ow, conv_stride, clip_y, stride)
+    nw = max(-(-h // stride), 1)
+    ncc = c // cc
+
+    ybase = jnp.repeat(
+        jnp.arange(oh, dtype=jnp.float32) * conv_stride - 1.0, ow
+    )
+    xbase = jnp.tile(
+        jnp.arange(ow, dtype=jnp.float32) * conv_stride - 1.0, oh
+    )
+    ky, kx = jnp.meshgrid(
+        jnp.arange(K, dtype=jnp.float32),
+        jnp.arange(K, dtype=jnp.float32),
+        indexing="ij",
+    )
+    oyc = jnp.clip(off_y.astype(jnp.float32), -clip_y, clip_y)
+    oy9 = oyc.reshape(b, n, K * K).transpose(0, 2, 1)
+    ox9 = off_x.astype(jnp.float32).reshape(b, n, K * K).transpose(0, 2, 1)
+    m = mask.astype(jnp.float32).reshape(b, n, K * K).transpose(0, 2, 1)
+    py = ybase[None, None, :] + ky.reshape(-1)[None, :, None] + oy9
+    px = xbase[None, None, :] + kx.reshape(-1)[None, :, None] + ox9
+    if n_pad != n:
+        py = jnp.pad(py, ((0, 0), (0, 0), (0, n_pad - n)), mode="edge")
+        px = jnp.pad(px, ((0, 0), (0, 0), (0, n_pad - n)), mode="edge")
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, n_pad - n)))
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = px - x0
+    ty = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    vx0 = (x0i >= 0) & (x0i < w)
+    vx1 = (x0i >= -1) & (x0i < w - 1)
+    vy0 = (y0i >= 0) & (y0i < h)
+    vy1 = (y0i >= -1) & (y0i < h - 1)
+    x0c = jnp.clip(x0i, -1, w - 1).astype(jnp.float32)
+
+    payload = jnp.stack(
+        [
+            x0c,
+            m * (1.0 - tx) * vx0,
+            m * tx * vx1,
+            y0,
+            (1.0 - ty) * vy0,
+            ty * vy1,
+        ],
+        axis=2,
+    )
+    payload = jnp.pad(payload, ((0, 0), (0, 0), (0, 2), (0, 0)))
+    payload = payload.reshape(b, K * K * 8, n_pad)
+
+    ylo = y0i.min(axis=1).reshape(b, nt, ct)
+    yhi = y0i.max(axis=1).reshape(b, nt, ct)
+    jrow = _tile_windows(
+        jnp.concatenate([ylo, yhi], axis=-1).reshape(b, nt * 2 * ct),
+        nt, 2 * ct, stride, wrows, nw,
+    )
+
+    wins = prepare_dcn_windows(
+        x, stride=stride, wrows=wrows, cc=cc, compute_dtype=compute_dtype
+    )
+    wwp = wins.shape[-1]
+    wk = weight.astype(compute_dtype).T  # [cout, 9*c], VMEM-resident
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, K * K * 8, ct), lambda i, t, jr: (i, 0, t)),
+            pl.BlockSpec(
+                (1, 1, ncc, wrows * cc, wwp),
+                lambda i, t, jr: (i, jr[i, t], 0, 0, 0),
+            ),
+            pl.BlockSpec((cout, K * K * c), lambda i, t, jr: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cout, ct), lambda i, t, jr: (i, 0, t)),
+        scratch_shapes=[pltpu.VMEM((K * K * c, ct), compute_dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_conv, wrows, ncc, cc, stride,
+                          compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, cout, n_pad), compute_dtype),
+        interpret=interpret,
+    )(jrow, payload, wins, wk)
+    return out[:, :, :n]
+
+
 def _sample_ref(x, off_y, off_x, mask, *, conv_stride, clip_y):
     """Reference jnp formulation of the SAME clipped sampling (backward
     pass and correctness oracle). Returns [B, 9*C, OH*OW] like _forward."""
@@ -402,6 +573,76 @@ def _bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
 
 
 _pallas_vjp.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _pallas_conv_vjp(x, off_y, off_x, mask, weight, conv_stride, clip_y,
+                     cap_tile, stride, cc, compute_dtype, interpret):
+    return _forward_conv(
+        x, off_y, off_x, mask, weight,
+        conv_stride=conv_stride, clip_y=clip_y, cap_tile=cap_tile,
+        stride=stride, cc=cc, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+
+
+def _conv_fwd(x, off_y, off_x, mask, weight, conv_stride, clip_y, cap_tile,
+              stride, cc, compute_dtype, interpret):
+    out = _forward_conv(
+        x, off_y, off_x, mask, weight,
+        conv_stride=conv_stride, clip_y=clip_y, cap_tile=cap_tile,
+        stride=stride, cc=cc, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    return out, (x, off_y, off_x, mask, weight)
+
+
+def _conv_bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
+              interpret, res, g):
+    """Unfold the conv contraction, then reuse the scatter-free sampling
+    backward. dW needs the im2col activations, which the folded forward
+    never materializes — ONE extra kernel pass recomputes them (cheaper
+    than checkpointing 9*C*n through the whole train step)."""
+    x, off_y, off_x, mask, weight = res
+    gf = g.astype(jnp.float32)  # [b, cout, n]
+    sampled = _forward(
+        x, off_y, off_x, mask,
+        conv_stride=conv_stride, clip_y=clip_y, cap_tile=cap_tile,
+        stride=stride, cc=cc, compute_dtype=compute_dtype,
+        interpret=interpret,
+    ).astype(jnp.float32)  # [b, 9c, n]
+    dweight = jnp.einsum("bin,bon->io", sampled, gf).astype(weight.dtype)
+    dsampled = jnp.einsum(
+        "io,bon->bin", weight.astype(jnp.float32), gf
+    )
+    dx, doff_y, doff_x, dmask = _bwd(
+        conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
+        interpret, (x, off_y, off_x, mask), dsampled,
+    )
+    return dx, doff_y, doff_x, dmask, dweight
+
+
+_pallas_conv_vjp.defvjp(_conv_fwd, _conv_bwd)
+
+
+def dcn_conv_pallas(
+    x, off_y, off_x, mask, weight, *,
+    conv_stride=1, clip_y=6.0, cap_tile=None, stride=None, cc=64,
+    compute_dtype=jnp.bfloat16,
+):
+    """Fused DCNv2 deformable 3x3 conv: sampling + modulation + the conv
+    weight contraction in one Pallas kernel. weight [9*C, Cout] (im2col
+    row order). Returns [B, Cout, OH*OW]. Same clipped-y semantics as
+    `dcn_sample_pallas`; fully differentiable (incl. dweight)."""
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        interpret = True
+    return _pallas_conv_vjp(
+        x, off_y, off_x, mask, weight, conv_stride, clip_y,
+        cap_tile or _CAP_TILE, stride or _STRIDE, cc,
+        compute_dtype, interpret,
+    )
 
 
 def resolve_impl(mode: str) -> str:

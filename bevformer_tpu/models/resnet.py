@@ -144,20 +144,19 @@ class ModulatedDeformConv(nn.Module):
         )
 
         if self.impl in ("fp32", "bf16"):
-            from bevformer_tpu.kernels.dcn_pallas import dcn_sample_pallas
+            from bevformer_tpu.kernels.dcn_pallas import dcn_conv_pallas
 
             cdt = jnp.float32 if self.impl == "fp32" else jnp.bfloat16
-            sampled = dcn_sample_pallas(
+            # conv weight folded INTO the kernel: the [b, 9c, n] im2col
+            # (9x the feature map) never touches HBM and the external
+            # fp32 einsum it fed is gone (kernels/dcn_pallas._kernel_conv)
+            out = dcn_conv_pallas(
                 x.astype(cdt),
-                off_y, off_x, mask,
+                off_y, off_x, mask, weight,
                 conv_stride=self.stride, clip_y=self.clip_y,
                 compute_dtype=cdt,
-            )  # [b, 9c, oh*ow], rows (tap, channel) = im2col order
-            out = jnp.einsum(
-                "bin,io->bno",
-                sampled.astype(jnp.float32),
-                weight.astype(jnp.float32),
-            ).reshape(b, oh, ow, self.features)
+            )  # [b, features, oh*ow]
+            out = out.transpose(0, 2, 1).reshape(b, oh, ow, self.features)
             return out.astype(self.dtype)
 
         if self.shift_radius > 0:

@@ -7,6 +7,9 @@ import pytest
 
 from bevformer_tpu.kernels import dcn_pallas as dp
 
+# compile-heavy (full model / Pallas kernel graphs): slow tier
+pytestmark = pytest.mark.slow
+
 
 def _inputs(rng, b, h, w, c, oh, ow, off_scale=3.0):
     x = jnp.array(rng.randn(b, h, w, c), jnp.float32)
@@ -73,6 +76,46 @@ def test_fused_gradients_consistent():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_conv_folded_matches_unfolded_and_grads():
+    """dcn_conv_pallas (conv weight contracted IN-kernel) == sample kernel
+    + einsum, forward and grads (incl. dweight)."""
+    rng = np.random.RandomState(5)
+    b, h, w, c, cout = 1, 12, 14, 32, 24
+    x, off_y, off_x, mask = _inputs(rng, b, h, w, c, h, w, off_scale=1.5)
+    weight = jnp.array(rng.randn(9 * c, cout) * 0.1, jnp.float32)
+
+    def loss_folded(xx, oy, ox, mm, ww):
+        out = dp.dcn_conv_pallas(
+            xx, oy, ox, mm, ww, conv_stride=1, clip_y=6.0, cap_tile=128,
+            cc=32, compute_dtype=jnp.float32,
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_unfolded(xx, oy, ox, mm, ww):
+        s = dp._sample_ref(xx, oy, ox, mm, conv_stride=1, clip_y=6.0)
+        out = jnp.einsum("bin,io->bon", s, ww)
+        return (out**2).sum()
+
+    argnums = (0, 1, 2, 3, 4)
+    out_f = dp.dcn_conv_pallas(
+        x, off_y, off_x, mask, weight, conv_stride=1, clip_y=6.0,
+        cap_tile=128, cc=32, compute_dtype=jnp.float32,
+    )
+    s = dp._sample_ref(x, off_y, off_x, mask, conv_stride=1, clip_y=6.0)
+    out_r = jnp.einsum("bin,io->bon", s, weight)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), rtol=1e-4, atol=1e-4
+    )
+    gf = jax.grad(loss_folded, argnums=argnums)(x, off_y, off_x, mask, weight)
+    gr = jax.grad(loss_unfolded, argnums=argnums)(
+        x, off_y, off_x, mask, weight
+    )
+    for name, a, b_ in zip(("x", "off_y", "off_x", "mask", "weight"), gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3, err_msg=name
         )
 
 
