@@ -273,23 +273,53 @@ def _forward(
     return out[:, :, :n]
 
 
-def _kernel_conv(wrows, ncc, cc, stride, compute_dtype,
-                 jrow_ref, pay_ref, val_ref, w_ref, out_ref, smp_ref):
-    """_kernel with the 3x3 conv CONTRACTION folded in: sampled rows land
-    in VMEM scratch `smp_ref` [9*C, ct] and ONE big matmul with the
-    resident conv weight `w_ref` [Cout, 9*C] writes [Cout, ct] — the
-    [b, 9*C, n] im2col (9x the input, 160 MB per stage-2 block at base)
-    never round-trips HBM and the external fp32 einsum it fed disappears.
-    Extra MXU flops = exactly the conv (Cout/(wrows*wwp) ~ 10% of the
-    sampling matmuls), paid in bf16 instead of the fp32 einsum."""
+def prepare_dcn_windows_flat(x, *, stride: int, wrows: int, cc: int,
+                             compute_dtype=jnp.bfloat16):
+    """[B, H, W, C] -> [B, nw, C//cc, cc, wrows*wwp] FLAT row-window
+    blocks: channel-chunk rows, (window row, column) flattened in the
+    minor dim — the layout the 2D-one-hot kernel (`_kernel_conv`)
+    contracts in ONE [cc, wrows*wwp] x [wrows*wwp, ct] matmul."""
+    b, h, w, c = x.shape
+    assert c % cc == 0, (c, cc)
+    assert wrows % stride == 0, ("wrows must be a stride multiple "
+                                 "(see _wrows_for)", wrows, stride)
+    wwp = _round_up(w, LANE)
+    nw = max(-(-h // stride), 1)
+    g = wrows // stride
+    hpad = (nw + g - 1) * stride
+    xp = jnp.pad(
+        x.astype(compute_dtype),
+        ((0, 0), (0, hpad - h), (0, wwp - w), (0, 0)),
+    )
+    # channel-major image, rows x cols flat in the minor dims
+    img = xp.reshape(b, hpad, wwp, c // cc, cc)
+    t = img.transpose(0, 3, 4, 1, 2)  # [b, ncc, cc, hpad, wwp]
+    tg = t.reshape(b, c // cc, cc, hpad // stride, stride * wwp)
+    wins = jnp.stack(
+        [tg[:, :, :, o : o + nw] for o in range(g)], axis=4
+    )  # [b, ncc, cc, nw, g, stride*wwp]
+    wins = wins.reshape(b, c // cc, cc, nw, wrows * wwp)
+    return wins.transpose(0, 3, 1, 2, 4)  # [b, nw, ncc, cc, wrows*wwp]
+
+
+def _kernel_conv_rc(wrows, ncc, cc, stride, compute_dtype,
+                    jrow_ref, pay_ref, val_ref, w_ref, out_ref, smp_ref):
+    """Conv-folded kernel, ROW-COMBINE variant: per tap, column-one-hot
+    matmul [wrows*cc, wwp] x [wwp, ct] then a VPU row combine (the
+    original `_kernel` structure); sampled rows land in `smp_ref` and one
+    resident-weight matmul emits [Cout, ct]. Kept selectable
+    (DCN_ALGO=rc) against the wbig variant below: on v5e the row combine
+    hides behind the MXU (measured 146 vs 158 ms full-backbone), so this
+    is the shipped default."""
     i = pl.program_id(0)
     t = pl.program_id(1)
     j = jrow_ref[i, t]
     wwp = val_ref.shape[-1]
+    ct = pay_ref.shape[-1]
     c = ncc * cc
 
     base = (j * stride).astype(jnp.float32)
-    cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, pay_ref.shape[-1]), 0)
+    cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
     precision = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -319,9 +349,80 @@ def _kernel_conv(wrows, ncc, cc, stride, compute_dtype,
                 val, wcol, preferred_element_type=jnp.float32,
                 precision=precision,
             )  # [wrows*cc, ct]
-            acc = jnp.zeros((cc, pay_ref.shape[-1]), jnp.float32)
+            acc = jnp.zeros((cc, ct), jnp.float32)
             for r in range(wrows):
                 acc = acc + wr[r] * tm[r * cc : (r + 1) * cc]
+            smp_ref[tap * c + cci * cc : tap * c + (cci + 1) * cc, :] = (
+                acc.astype(compute_dtype)
+            )
+    out_ref[0] = jnp.dot(
+        w_ref[...], smp_ref[...],
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(out_ref.dtype)
+
+
+def _kernel_conv(wrows, ncc, cc, stride, compute_dtype,
+                 jrow_ref, pay_ref, val_ref, w_ref, out_ref,
+                 smp_ref, wbig_ref):
+    """_kernel with (a) the 3x3 conv CONTRACTION folded in and (b) the
+    bilinear row-combine folded INTO the sampling matmul via a 2D one-hot.
+
+    (a) sampled rows land in VMEM scratch `smp_ref` [9*C, ct] and ONE big
+    matmul with the resident conv weight `w_ref` [Cout, 9*C] writes
+    [Cout, ct] — the [b, 9*C, n] im2col (9x the input, 160 MB per stage-2
+    block at base) never round-trips HBM and the external fp32 einsum it
+    fed disappears. Extra MXU flops = exactly the conv.
+
+    (b) per tap, the FULL bilinear weight over the (row, column) window —
+    `wbig[r*wwp + col, j] = wr[r, j] * wcol[col, j]` — is built by one
+    outer-product VPU pass per window row into `wbig_ref`
+    [wrows*wwp, ct], then contracted against the FLAT window block
+    `val_ref[.., cc, wrows*wwp]` in ONE MXU matmul per channel chunk.
+    Identical flops to the old column-matmul (wrows*cc x wwp x ct ==
+    cc x wrows*wwp x ct) but the per-row VPU combine — which dominated at
+    ~2.5 ops per tmat element, the measured DCN wall — is gone, and
+    cc=128 fills the MXU M dimension."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    j = jrow_ref[i, t]
+    nflat = val_ref.shape[-1]
+    wwp = nflat // wrows
+    ct = pay_ref.shape[-1]
+    c = ncc * cc
+
+    base = (j * stride).astype(jnp.float32)
+    cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    for tap in range(K * K):
+        pay = pay_ref[0, tap * 8 : tap * 8 + 8]
+        x0 = pay[0:1]
+        wx0 = pay[1:2]
+        wx1 = pay[2:3]
+        y0 = pay[3:4]
+        wy0 = pay[4:5]
+        wy1 = pay[5:6]
+        xi = x0.astype(jnp.int32)
+        wcol = jnp.where(cio == xi, wx0, 0.0) + jnp.where(
+            cio == xi + 1, wx1, 0.0
+        )
+        for r in range(wrows):
+            fr = base + float(r)
+            wr = jnp.where(y0 == fr, wy0, 0.0) + jnp.where(
+                y0 == fr - 1.0, wy1, 0.0
+            )  # [1, ct]
+            wbig_ref[r * wwp : (r + 1) * wwp, :] = (wr * wcol).astype(
+                compute_dtype
+            )
+        for cci in range(ncc):
+            val = val_ref[0, 0, cci]  # [cc, wrows*wwp]
+            acc = jnp.dot(
+                val, wbig_ref[...], preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [cc, ct]
             smp_ref[tap * c + cci * cc : tap * c + (cci + 1) * cc, :] = (
                 acc.astype(compute_dtype)
             )
@@ -335,24 +436,28 @@ def _kernel_conv(wrows, ncc, cc, stride, compute_dtype,
     jax.jit,
     static_argnames=(
         "conv_stride", "clip_y", "cap_tile", "stride", "cc",
-        "compute_dtype", "interpret",
+        "compute_dtype", "interpret", "algo",
     ),
 )
 def _forward_conv(
     x, off_y, off_x, mask, weight, *,
     conv_stride=1, clip_y=6.0, cap_tile=512, stride=4, cc=64,
-    compute_dtype=jnp.bfloat16, interpret=False,
+    compute_dtype=jnp.bfloat16, interpret=False, algo="rc",
 ):
     """Deformable im2col + conv contraction in one kernel.
 
     x [B,H,W,C]; off_y/off_x/mask [B,OH,OW,9]; weight [9*C, Cout] (im2col
     row order: tap-major then channel, matching `_forward`'s output rows)
-    -> [B, Cout, OH*OW]."""
+    -> [B, Cout, OH*OW]. algo: 'rc' (column matmul + VPU row combine) or
+    'wbig' (flat-window 2D-one-hot matmul)."""
     b, h, w, c = x.shape
     _, oh, ow, _ = off_y.shape
     cout = weight.shape[1]
     n = oh * ow
-    ct = min(cap_tile, 256) if (conv_stride > 1 or c >= 512) else cap_tile
+    # wide channel counts / strided convs grow the window + weight + smp
+    # blocks: ct=128 keeps stage-4 (C=512, conv_stride=2) under the 16 MB
+    # scoped-VMEM budget (ct=256 measured 19.25M OOM at compile)
+    ct = min(cap_tile, 128) if (conv_stride > 1 or c >= 512) else cap_tile
     n_pad = _round_up(n, ct)
     nt = n_pad // ct
     wrows = _wrows_for(ct, ow, conv_stride, clip_y, stride)
@@ -414,29 +519,49 @@ def _forward_conv(
         nt, 2 * ct, stride, wrows, nw,
     )
 
-    wins = prepare_dcn_windows(
-        x, stride=stride, wrows=wrows, cc=cc, compute_dtype=compute_dtype
-    )
-    wwp = wins.shape[-1]
     wk = weight.astype(compute_dtype).T  # [cout, 9*c], VMEM-resident
+    if algo == "wbig":
+        wins = prepare_dcn_windows_flat(
+            x, stride=stride, wrows=wrows, cc=cc,
+            compute_dtype=compute_dtype,
+        )
+        wwp = wins.shape[-1] // wrows
+        val_spec = pl.BlockSpec(
+            (1, 1, ncc, cc, wrows * wwp),
+            lambda i, t, jr: (i, jr[i, t], 0, 0, 0),
+        )
+        kern = _kernel_conv
+        scratch = [
+            pltpu.VMEM((K * K * c, ct), compute_dtype),
+            pltpu.VMEM((wrows * wwp, ct), compute_dtype),
+        ]
+    else:
+        assert algo == "rc", algo
+        wins = prepare_dcn_windows(
+            x, stride=stride, wrows=wrows, cc=cc,
+            compute_dtype=compute_dtype,
+        )
+        wwp = wins.shape[-1]
+        val_spec = pl.BlockSpec(
+            (1, 1, ncc, wrows * cc, wwp),
+            lambda i, t, jr: (i, jr[i, t], 0, 0, 0),
+        )
+        kern = _kernel_conv_rc
+        scratch = [pltpu.VMEM((K * K * c, ct), compute_dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, K * K * 8, ct), lambda i, t, jr: (i, 0, t)),
-            pl.BlockSpec(
-                (1, 1, ncc, wrows * cc, wwp),
-                lambda i, t, jr: (i, jr[i, t], 0, 0, 0),
-            ),
+            val_spec,
             pl.BlockSpec((cout, K * K * c), lambda i, t, jr: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, cout, ct), lambda i, t, jr: (i, 0, t)),
-        scratch_shapes=[pltpu.VMEM((K * K * c, ct), compute_dtype)],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_conv, wrows, ncc, cc, stride,
-                          compute_dtype),
+        functools.partial(kern, wrows, ncc, cc, stride, compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, cout, n_pad), compute_dtype),
         interpret=interpret,
@@ -575,30 +700,32 @@ def _bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
 _pallas_vjp.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
+)
 def _pallas_conv_vjp(x, off_y, off_x, mask, weight, conv_stride, clip_y,
-                     cap_tile, stride, cc, compute_dtype, interpret):
+                     cap_tile, stride, cc, compute_dtype, interpret, algo):
     return _forward_conv(
         x, off_y, off_x, mask, weight,
         conv_stride=conv_stride, clip_y=clip_y, cap_tile=cap_tile,
         stride=stride, cc=cc, compute_dtype=compute_dtype,
-        interpret=interpret,
+        interpret=interpret, algo=algo,
     )
 
 
 def _conv_fwd(x, off_y, off_x, mask, weight, conv_stride, clip_y, cap_tile,
-              stride, cc, compute_dtype, interpret):
+              stride, cc, compute_dtype, interpret, algo):
     out = _forward_conv(
         x, off_y, off_x, mask, weight,
         conv_stride=conv_stride, clip_y=clip_y, cap_tile=cap_tile,
         stride=stride, cc=cc, compute_dtype=compute_dtype,
-        interpret=interpret,
+        interpret=interpret, algo=algo,
     )
     return out, (x, off_y, off_x, mask, weight)
 
 
 def _conv_bwd(conv_stride, clip_y, cap_tile, stride, cc, compute_dtype,
-              interpret, res, g):
+              interpret, algo, res, g):
     """Unfold the conv contraction, then reuse the scatter-free sampling
     backward. dW needs the im2col activations, which the folded forward
     never materializes — ONE extra kernel pass recomputes them (cheaper
@@ -627,7 +754,7 @@ _pallas_conv_vjp.defvjp(_conv_fwd, _conv_bwd)
 
 def dcn_conv_pallas(
     x, off_y, off_x, mask, weight, *,
-    conv_stride=1, clip_y=6.0, cap_tile=None, stride=None, cc=64,
+    conv_stride=1, clip_y=6.0, cap_tile=None, stride=None, cc=None,
     compute_dtype=jnp.bfloat16,
 ):
     """Fused DCNv2 deformable 3x3 conv: sampling + modulation + the conv
@@ -638,10 +765,14 @@ def dcn_conv_pallas(
         interpret = jax.devices()[0].platform != "tpu"
     except Exception:  # pragma: no cover
         interpret = True
+    algo = os.environ.get("DCN_ALGO", "rc")
+    if cc is None:
+        # wbig: cc=128 fills the MXU M dim of the flat-window matmul
+        cc = (128 if algo == "wbig" and x.shape[-1] % 128 == 0 else 64)
     return _pallas_conv_vjp(
         x, off_y, off_x, mask, weight, conv_stride, clip_y,
         cap_tile or _CAP_TILE, stride or _STRIDE, cc,
-        compute_dtype, interpret,
+        compute_dtype, interpret, algo,
     )
 
 
