@@ -61,15 +61,15 @@ NCH = 6  # payload channels per (level, head): x0, wx0, wx1, y0, wy0, wy1
 
 
 def effective_halo(stride: int, halo: int) -> int:
-    """Round `halo` up so wrows = stride + halo + 1 is a multiple of
-    stride: the grouped window construction in
-    `prepare_window_values_hi` stacks whole stride-row groups (g big
-    strided slices instead of one slice PER window — the per-window
-    stack + 6D transpose measured 11.4 ms/layer at base SCA scale,
-    tools/bench_hi_probe.py). A larger halo only widens the drop-free
-    guarantee; MXU rows grow by <= stride-1."""
-    wrows = stride + halo + 1
-    return -(-wrows // stride) * stride - stride - 1
+    """Identity (kept for call-site compatibility): wrows used to be
+    rounded up to a stride multiple for the grouped window construction;
+    `prepare_window_values_*` now stack whole stride-row groups PLUS one
+    partial (wrows % stride)-row group, so any wrows works. The kernel
+    matmul M dim is wrows*d — at base SCA scale each surplus window row
+    measured ~1 ms/layer (tools/bench_hi_sweep.py wrows 16 -> 12 = 25.4
+    -> 21.3 ms), so halos are no longer silently widened."""
+    del stride
+    return halo
 
 
 def prepare_window_values_hi(
@@ -83,8 +83,7 @@ def prepare_window_values_hi(
 ):
     """Per-level HEAD-MAJOR overlapping row-window blocks
     [B, nw, H, wrows*D, WWp]; window j holds image rows
-    [j*stride, j*stride + stride + halo] (zero-padded past the image).
-    Requires halo == effective_halo(stride, halo)."""
+    [j*stride, j*stride + wrows) (zero-padded past the image)."""
     if value.ndim == 4:
         b, k, h, d = value.shape
         val = value
@@ -96,27 +95,32 @@ def prepare_window_values_hi(
     starts, sizes, total = _level_bounds(spatial_shapes)
     assert total == k
     wrows = stride + halo + 1
-    assert wrows % stride == 0, (
-        "halo must be pre-rounded via effective_halo()", stride, halo)
-    g = wrows // stride
+    g = wrows // stride  # full stride-row groups per window
+    rem = wrows % stride  # plus one partial group of rem rows
     out = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
         wwp = _round_up(ww, LANE)
         img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 1)
         img = img.reshape(b, hh, ww, h, d).astype(compute_dtype)
-        hpad = (nw + g - 1) * stride  # = (nw - 1) * stride + wrows
+        hpad = (nw + g) * stride  # >= (nw - 1) * stride + wrows
         img = jnp.pad(
             img, ((0, 0), (0, hpad - hh), (0, wwp - ww), (0, 0), (0, 0))
         )
         # ONE big transpose (minor ww stays large), then whole-group
-        # stacking: window j = stride-row groups j .. j+g-1
+        # stacking: window j = stride-row groups j .. j+g-1 (+ the first
+        # rem rows of group j+g)
         t = img.transpose(0, 3, 1, 4, 2)  # [b, h, hpad, d, wwp]
-        tg = t.reshape(b, h, hpad // stride, stride * d, wwp)
-        wins = jnp.stack(
-            [tg[:, :, o: o + nw] for o in range(g)], axis=3
-        )  # [b, h, nw, g, stride*d, wwp]
-        wins = wins.reshape(b, h, nw, wrows * d, wwp)
+        tg = t.reshape(b, h, hpad // stride, stride, d, wwp)
+        tgf = tg.reshape(b, h, hpad // stride, stride * d, wwp)
+        parts = [tgf[:, :, o: o + nw] for o in range(g)]
+        if rem:
+            parts.append(
+                tg[:, :, g: g + nw, :rem].reshape(b, h, nw, rem * d, wwp)
+            )
+        wins = jnp.concatenate(
+            [p.reshape(b, h, nw, -1, wwp) for p in parts], axis=3
+        )  # [b, h, nw, wrows*d, wwp]
         out.append(wins.transpose(0, 2, 1, 3, 4))  # [b, nw, h, rm, wwp]
     return out
 
@@ -149,24 +153,28 @@ def prepare_window_values_cm(
     starts, sizes, total = _level_bounds(spatial_shapes)
     assert total == k
     wrows = stride + halo + 1
-    assert wrows % stride == 0, (
-        "halo must be pre-rounded via effective_halo()", stride, halo)
     g = wrows // stride
+    rem = wrows % stride
     out = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
         wwp = _round_up(ww, LANE)
         img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 2)
         img = img.reshape(b, h, d, hh, ww).astype(compute_dtype)
-        hpad = (nw + g - 1) * stride
+        hpad = (nw + g) * stride
         img = jnp.pad(
             img, ((0, 0), (0, 0), (0, 0), (0, hpad - hh), (0, wwp - ww)))
         tg = img.reshape(b, h, d, hpad // stride, stride, wwp)
         tg = tg.transpose(0, 3, 1, 4, 2, 5)  # [b, ng, h, stride, d, wwp]
-        tg = tg.reshape(b, hpad // stride, h, stride * d, wwp)
-        wins = jnp.stack([tg[:, o: o + nw] for o in range(g)], axis=3)
-        wins = wins.reshape(b, nw, h, g, stride * d, wwp)
-        out.append(wins.reshape(b, nw, h, wrows * d, wwp))
+        parts = [
+            tg.reshape(b, hpad // stride, h, stride * d, wwp)[:, o: o + nw]
+            for o in range(g)
+        ]
+        if rem:
+            parts.append(
+                tg[:, g: g + nw, :, :rem].reshape(b, nw, h, rem * d, wwp)
+            )
+        out.append(jnp.concatenate(parts, axis=3))  # [b, nw, h, rm, wwp]
     return out
 
 

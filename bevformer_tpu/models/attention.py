@@ -258,13 +258,15 @@ class MSDeformableAttention3D(nn.Module):
     # (query, z-anchor) pairs sorted by projected anchor row so each kernel
     # tile is row-coherent.
     fused_msda: Any = "off"
-    # window geometry: kernel matmul cost scales with stride+halo+1 rows,
-    # so keep the window as small as exactness allows. The grid-init bias
-    # is ONE-directional per head (offsets s_h*(i+1), same sign), so the
-    # within-tile row spread is ~7|s_h|, not +-8: measured drop-free down
-    # to halo 8 at base scale with real init offsets + capacity routing
-    # (tools/audit_halo.py); ship 9 for margin. Trained checkpoints whose
-    # offsets spread further are caught by the runtime drop-mass audit and
+    # window geometry: kernel matmul cost scales with wrows=stride+halo+1
+    # (measured ~1 ms/layer per surplus row at base scale,
+    # tools/bench_hi_sweep.py), so keep the window as small as exactness
+    # allows. The grid-init bias is ONE-directional per head (offsets
+    # s_h*(i+1), same sign), so the within-tile row spread is ~7|s_h|,
+    # not +-8: halo 9 (wrows 14 now that windows take partial stride
+    # groups) is measured drop-free with margin 1 over the halo-8
+    # boundary (tools/audit_halo.py). Trained checkpoints whose offsets
+    # spread further are caught by the runtime drop-mass audit and
     # auto-widened by the evaluator guard (cfg.sca_fused_halo override).
     fused_stride: int = 4
     fused_halo: int = 9
@@ -715,11 +717,14 @@ class TemporalSelfAttention(nn.Module):
     # fused Pallas windowed kernel: FusedSpec or bare mode string
     fused_msda: Any = "off"
     # TSA offsets are small and one-directional per head (grid-init bias
-    # s_h*(i+1), i < 4): measured drop-free down to halo 4 at 200x200
-    # (tools/audit_halo.py); ship 5 for margin (cfg.tsa_fused_halo
-    # overrides; the evaluator guard auto-widens on measured drop)
-    fused_stride: int = 4
-    fused_halo: int = 5
+    # s_h*(i+1), i < 4): stride 2 + halo 7 = 10 window rows, measured
+    # drop-free at 200x200 with margin (tools/audit_halo.py; the finer
+    # stride halves the window-start quantization loss, so the same halo
+    # covers with 2 fewer MXU rows — 11.5 -> 9.7 ms/layer at base,
+    # tools/bench_hi_sweep.py). cfg.tsa_fused_halo overrides; the
+    # evaluator guard auto-widens on measured drop.
+    fused_stride: int = 2
+    fused_halo: int = 7
     fused_cap_tile: int = 512
     dtype: jnp.dtype = jnp.float32
 

@@ -22,14 +22,18 @@ def to_flat_lhp(loc, w):
 
 
 @pytest.mark.parametrize(
-    "shapes,heads,points",
+    "shapes,heads,points,stride",
     [
-        (((30, 25),), 8, 8),
-        (((32, 22), (16, 11)), 4, 4),
-        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8),
+        (((30, 25),), 8, 8, 4),
+        (((32, 22), (16, 11)), 4, 4, 4),
+        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8, 4),
+        # stride-2 windows (the production SCA/TSA geometry: wrows 12/10
+        # at halo 9/7 with finer window-start quantization)
+        (((30, 25),), 8, 8, 2),
+        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8, 2),
     ],
 )
-def test_hi_forward_matches_reference(shapes, heads, points):
+def test_hi_forward_matches_reference(shapes, heads, points, stride):
     from bevformer_tpu.kernels import msda_hi as mh
 
     rng = np.random.RandomState(7)
@@ -46,13 +50,13 @@ def test_hi_forward_matches_reference(shapes, heads, points):
     loc_f, w_f = to_flat_lhp(loc, w)
     dm = mh.window_drop_mass_hi(
         shapes, jnp.asarray(loc_f), jnp.asarray(w_f),
-        heads=heads, points=points, stride=4, halo=8, cap_tile=64,
+        heads=heads, points=points, stride=stride, halo=8, cap_tile=64,
     )
     assert float(dm.sum()) == 0.0, dm
     out = np.asarray(mh._forward_hi(
         jnp.asarray(value.reshape(b, k, heads * d)), shapes,
         jnp.asarray(loc_f), jnp.asarray(w_f),
-        heads=heads, points=points, stride=4, halo=8, cap_tile=64,
+        heads=heads, points=points, stride=stride, halo=8, cap_tile=64,
         interpret=True,
     ))
     ref = np.asarray(ms_deform_attn_jnp(
@@ -149,13 +153,14 @@ def test_hi_value_cm_matches_row_major():
 
 
 @pytest.mark.parametrize(
-    "shapes,heads,points",
+    "shapes,heads,points,stride",
     [
-        (((30, 25),), 8, 8),
-        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8),
+        (((30, 25),), 8, 8, 4),
+        (((29, 50), (15, 25), (8, 13), (4, 7)), 8, 8, 4),
+        (((30, 25),), 8, 8, 2),
     ],
 )
-def test_hi_backward_matches_oracle(shapes, heads, points):
+def test_hi_backward_matches_oracle(shapes, heads, points, stride):
     """v3 scatter-free backward vs autodiff of the XLA oracle."""
     from bevformer_tpu.kernels import msda_hi as mh
 
@@ -180,7 +185,8 @@ def test_hi_backward_matches_oracle(shapes, heads, points):
     def loss_hi(v, lf, wf):
         out = mh.ms_deform_attn_hi(
             v.reshape(b, k, heads * d), shapes, lf, wf,
-            heads=heads, points=points, stride=4, halo=8, cap_tile=64,
+            heads=heads, points=points, stride=stride, halo=8,
+            cap_tile=64,
         )
         return (out * cot).sum()
 

@@ -60,6 +60,12 @@ def build(mode):
                 preferred_element_type=jnp.float32,
             )
             return om.astype(jnp.float32).sum() * 1e-20
+        if mode == "fused":
+            out = dp.dcn_conv_pallas(
+                xx, oy, ox, m, w, conv_stride=1, clip_y=CLIP,
+                cap_tile=CT, stride=STRIDE, cc=CC, compute_dtype=CD,
+            )
+            return out.astype(jnp.float32).ravel()[0] * 1e-20
         if mode in ("full", "conv"):
             sampled = dp.dcn_sample_pallas(
                 xx, oy, ox, m, conv_stride=1, clip_y=CLIP,
@@ -76,6 +82,34 @@ def build(mode):
             wins = dp.prepare_dcn_windows(
                 xx, stride=STRIDE, wrows=wrows, cc=CC, compute_dtype=CD
             )
+            return wins.astype(jnp.float32).sum() * 1e-20
+        # wprep decomposition: which stage of prepare_dcn_windows is slow?
+        if mode in ("wpad", "wtrans", "wgroup", "wstack"):
+            from bevformer_tpu.kernels.msda_pallas import _round_up
+            b, h_, w_, c = xx.shape
+            wrows = dp._wrows_for(CT, OW, 1, CLIP, STRIDE)
+            wwp = _round_up(w_, 128)
+            nw = max(-(-h_ // STRIDE), 1)
+            g = wrows // STRIDE
+            hpad = (nw + g - 1) * STRIDE
+            xp = jnp.pad(
+                xx.astype(CD),
+                ((0, 0), (0, hpad - h_), (0, wwp - w_), (0, 0)),
+            )
+            if mode == "wpad":
+                return xp.astype(jnp.float32).sum() * 1e-20
+            img = xp.reshape(b, hpad, wwp, c // CC, CC)
+            t = img.transpose(0, 3, 1, 4, 2)  # [b, ncc, hpad, cc, wwp]
+            if mode == "wtrans":
+                return t.astype(jnp.float32).sum() * 1e-20
+            tg = t.reshape(b, c // CC, hpad // STRIDE, STRIDE * CC, wwp)
+            if mode == "wgroup":
+                # grouped (non-overlapping) layout only — what the g-ref
+                # kernel variant would consume
+                return tg.astype(jnp.float32).sum() * 1e-20
+            wins = jnp.stack(
+                [tg[:, :, o: o + nw] for o in range(g)], axis=3
+            ).reshape(b, c // CC, nw, wrows * CC, wwp)
             return wins.astype(jnp.float32).sum() * 1e-20
         raise ValueError(mode)
 
