@@ -54,11 +54,13 @@ def _wrows_for(ct: int, ow: int, conv_stride: int, clip_y: float,
     input rows; taps add +-1, offsets +-clip, the bottom bilinear corner
     +1, window-start quantisation +stride-1, +1 safety margin."""
     row_span = conv_stride * (math.ceil(ct / ow) + 1)
-    wr = row_span + 2 + 2 * math.ceil(clip_y) + 2 + (stride - 1) + 1
-    # round up to a stride multiple so the grouped window construction in
-    # `prepare_dcn_windows` can stack whole stride-row groups (coverage
-    # only widens; the kernel's row-combine grows by <= stride-1 rows)
-    return -(-wr // stride) * stride
+    # no stride round-up: the window builders stack whole stride-row
+    # groups PLUS one partial (wrows % stride)-row group (same unrounded
+    # construction as msda_hi.prepare_window_values_*). Every surplus row
+    # is pure MXU waste — the rc kernel is ~90% matmul-bound
+    # (tools/bench_dcn_probe.py REPS=64: full 3.05 ms/block real vs a
+    # ~2.7 ms matmul floor at wrows 20; 20 -> 18 cuts 10%).
+    return row_span + 2 + 2 * math.ceil(clip_y) + 2 + (stride - 1) + 1
 
 
 def prepare_dcn_windows(x, *, stride: int, wrows: int, cc: int,
@@ -67,27 +69,31 @@ def prepare_dcn_windows(x, *, stride: int, wrows: int, cc: int,
     blocks; window j holds input rows [j*stride, j*stride + wrows)."""
     b, h, w, c = x.shape
     assert c % cc == 0, (c, cc)
-    assert wrows % stride == 0, ("wrows must be a stride multiple "
-                                 "(see _wrows_for)", wrows, stride)
     wwp = _round_up(w, LANE)
     nw = max(-(-h // stride), 1)
-    g = wrows // stride
-    hpad = (nw + g - 1) * stride  # = (nw - 1) * stride + wrows
+    g = wrows // stride  # full stride-row groups per window
+    rem = wrows % stride  # plus one partial group of rem rows
+    hpad = (nw + g) * stride  # >= (nw - 1) * stride + wrows
     xp = jnp.pad(
         x.astype(compute_dtype),
         ((0, 0), (0, hpad - h), (0, wwp - w), (0, 0)),
     )
     # ONE transpose with a big minor (wwp), then whole stride-row-group
-    # stacking: window j = groups j .. j+g-1 (the per-window stack + 6D
-    # relayout this replaces measured ~3.2 ms per stage-3 DCN block,
-    # tools/bench_dcn_probe.py wprep — same fix as msda_hi's prep)
+    # stacking: window j = groups j .. j+g-1 plus the first rem rows of
+    # group j+g (unrounded wrows — every surplus row is MXU waste in the
+    # rc kernel; same construction as msda_hi.prepare_window_values_*)
     img = xp.reshape(b, hpad, wwp, c // cc, cc)
     t = img.transpose(0, 3, 1, 4, 2)  # [b, ncc, hpad, cc, wwp]
-    tg = t.reshape(b, c // cc, hpad // stride, stride * cc, wwp)
-    wins = jnp.stack(
-        [tg[:, :, o : o + nw] for o in range(g)], axis=3
-    )  # [b, ncc, nw, g, stride*cc, wwp]
-    wins = wins.reshape(b, c // cc, nw, wrows * cc, wwp)
+    tg = t.reshape(b, c // cc, hpad // stride, stride, cc, wwp)
+    tgf = tg.reshape(b, c // cc, hpad // stride, stride * cc, wwp)
+    parts = [tgf[:, :, o : o + nw] for o in range(g)]
+    if rem:
+        parts.append(
+            tg[:, :, g : g + nw, :rem].reshape(b, c // cc, nw, rem * cc, wwp)
+        )
+    wins = jnp.concatenate(
+        [p.reshape(b, c // cc, nw, -1, wwp) for p in parts], axis=3
+    )  # [b, ncc, nw, wrows*cc, wwp]
     return wins.transpose(0, 2, 1, 3, 4)  # [b, nw, ncc, wrows*cc, wwp]
 
 
@@ -281,12 +287,11 @@ def prepare_dcn_windows_flat(x, *, stride: int, wrows: int, cc: int,
     contracts in ONE [cc, wrows*wwp] x [wrows*wwp, ct] matmul."""
     b, h, w, c = x.shape
     assert c % cc == 0, (c, cc)
-    assert wrows % stride == 0, ("wrows must be a stride multiple "
-                                 "(see _wrows_for)", wrows, stride)
     wwp = _round_up(w, LANE)
     nw = max(-(-h // stride), 1)
     g = wrows // stride
-    hpad = (nw + g - 1) * stride
+    rem = wrows % stride  # unrounded wrows: one partial trailing group
+    hpad = (nw + g) * stride
     xp = jnp.pad(
         x.astype(compute_dtype),
         ((0, 0), (0, hpad - h), (0, wwp - w), (0, 0)),
@@ -294,11 +299,18 @@ def prepare_dcn_windows_flat(x, *, stride: int, wrows: int, cc: int,
     # channel-major image, rows x cols flat in the minor dims
     img = xp.reshape(b, hpad, wwp, c // cc, cc)
     t = img.transpose(0, 3, 4, 1, 2)  # [b, ncc, cc, hpad, wwp]
-    tg = t.reshape(b, c // cc, cc, hpad // stride, stride * wwp)
-    wins = jnp.stack(
-        [tg[:, :, :, o : o + nw] for o in range(g)], axis=4
-    )  # [b, ncc, cc, nw, g, stride*wwp]
-    wins = wins.reshape(b, c // cc, cc, nw, wrows * wwp)
+    tg = t.reshape(b, c // cc, cc, hpad // stride, stride, wwp)
+    tgf = tg.reshape(b, c // cc, cc, hpad // stride, stride * wwp)
+    parts = [tgf[:, :, :, o : o + nw] for o in range(g)]
+    if rem:
+        parts.append(
+            tg[:, :, :, g : g + nw, :rem].reshape(
+                b, c // cc, cc, nw, rem * wwp
+            )
+        )
+    wins = jnp.concatenate(
+        [p.reshape(b, c // cc, cc, nw, -1) for p in parts], axis=4
+    )  # [b, ncc, cc, nw, wrows*wwp]
     return wins.transpose(0, 3, 1, 2, 4)  # [b, nw, ncc, cc, wrows*wwp]
 
 

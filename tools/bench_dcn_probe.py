@@ -49,6 +49,9 @@ def build(mode):
 
     def fn(xx, oy, ox, m, carry):
         xx = xx + carry.astype(CD) * 1e-9
+        if mode == "nop":
+            # harness floor: relay per-call overhead / REPS + carry chain
+            return xx.astype(jnp.float32).ravel()[0] * 1e-20
         if mode.startswith("offconv"):
             # stand-in for the conv_offset 3x3 conv (27 outputs)
             cout = 128 if "128" in mode else 27

@@ -1,0 +1,255 @@
+"""Floor-corrected decomposition of the fused SCA inner at PRODUCTION
+base shapes (bs=1, 6 cams, cap = 0.25 * 40000, nz=4 -> 40000 anchor items
+per camera row, stride 4 / halo 9 / ct 512, bf16 payload).
+
+Earlier stage probes (bench_sca_stages.py, bench_attn_modules.py) used
+reps=3-4; the axon relay adds ~30 ms per jit call, so every number there
+carried a 7-10 ms floor. Always subtract the `nop` line here.
+
+Usage: python tools/bench_sca_probe.py [nop dense perm unsort kern route ...]
+Env: REPS (default 32)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from bevformer_tpu.models.attention import (
+    permute_rows, route_gather, route_scatter, routing_inverse,
+    softmax_groups_flat,
+)
+from bevformer_tpu.kernels.msda_hi import ms_deform_attn_hi
+
+REPS = int(os.environ.get("REPS", "32"))
+b, cap, e, nz, h, l, ppa = 6, 10000, 256, 4, 8, 4, 2
+nch = h * l * ppa  # 64
+n = cap * nz  # anchor items per camera row
+QBEV = 40000
+SHAPES = ((116, 200), (58, 100), (29, 50), (15, 25))
+k = sum(a * c for a, c in SHAPES)
+
+rng = np.random.RandomState(0)
+query = jnp.array(rng.randn(b, cap, e) * 0.1, jnp.float32)
+wo = jnp.array(rng.randn(e, h * l * ppa * nz * 2) * 0.01, jnp.float32)
+ww = jnp.array(rng.randn(e, h * l * ppa * nz) * 0.01, jnp.float32)
+ref = jnp.array(rng.rand(b, cap, nz, 2), jnp.float32)
+value_cm = jnp.array(rng.randn(b, e, k) * 0.1, jnp.bfloat16)
+cat = jnp.array(rng.randn(b, n, nch * 3 + 4), jnp.bfloat16)
+out_s = jnp.array(rng.randn(b, n, e) * 0.1, jnp.bfloat16)
+loc_flat = jnp.array(rng.rand(b, n, nch * 2) * 0.9, jnp.float32)
+w_flat = jnp.array(rng.rand(b, n, nch) * 0.1, jnp.float32)
+
+key_ = ref[..., 1].reshape(b, n)
+perm = jnp.argsort(key_, axis=1)
+inv = jnp.argsort(perm, axis=1)
+
+# capacity routing at full-BEV granularity (bs=1)
+bev_q = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+top_idx = jnp.array(
+    np.stack([rng.choice(QBEV, cap, replace=False) for _ in range(6)])[None],
+    jnp.int32,
+)
+r_inv, r_found = routing_inverse(top_idx, QBEV)
+attn_c = jnp.array(rng.randn(1, 6, cap, e) * 0.1, jnp.bfloat16)
+
+# sort loc so the kernel sees realistic row-coherent tiles
+loc_sorted = jnp.take_along_axis(loc_flat, perm[:, :, None], axis=1)
+
+
+def timed(label, fn, *args):
+    def chained(a0, *rest):
+        def body(c, _):
+            out = fn(a0 + c.astype(a0.dtype) * 0, *rest)
+            return c + out.ravel()[0].astype(jnp.float32) * 1e-9, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
+        return c
+    j = jax.jit(chained)
+    t0 = time.perf_counter()
+    float(j(*args))
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(j(*args))
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"{label}: {dt*1e3:.2f} ms (compile {tc:.0f}s)", flush=True)
+
+
+def main():
+    modes = sys.argv[1:] or [
+        "nop", "dense", "perm", "unsort", "kern", "rgather", "rscatter",
+    ]
+    for m in modes:
+        if m == "nop":
+            timed("nop", lambda q_: q_, query)
+        elif m == "dense":
+            def dense(q_):
+                off = q_ @ wo
+                logits = q_ @ ww
+                wsm = softmax_groups_flat(
+                    logits, (b, cap, nz, l, h, ppa), (2, 3, 5)
+                )
+                c_ = jnp.concatenate(
+                    [
+                        off.reshape(b, n, nch * 2).astype(jnp.bfloat16),
+                        wsm.reshape(b, n, nch).astype(jnp.bfloat16),
+                        jax.lax.bitcast_convert_type(
+                            ref.reshape(b, n, 2), jnp.bfloat16
+                        ).reshape(b, n, 4),
+                    ],
+                    axis=-1,
+                )
+                return c_
+            timed("dense+softmax+cat", dense, query)
+        elif m == "perm":
+            timed(
+                "perm cat [6,40k,196] bf16",
+                lambda c_: permute_rows(c_, perm, inv), cat,
+            )
+        elif m == "unsort":
+            timed(
+                "unsort out [6,40k,256] bf16",
+                lambda o_: permute_rows(o_, inv, perm), out_s,
+            )
+        elif m == "kern":
+            def kern(v_):
+                return ms_deform_attn_hi(
+                    None, SHAPES, loc_sorted, w_flat,
+                    heads=h, points=ppa, stride=4, halo=9, cap_tile=512,
+                    compute_dtype=jnp.bfloat16, value_cm=v_,
+                )
+            timed("kernel (presorted)", kern, value_cm)
+        elif m == "rgather":
+            timed(
+                "route_gather [1,40k,256]f32 -> [1,6,10k]",
+                lambda x_: route_gather(x_, top_idx, r_inv, r_found), bev_q,
+            )
+        elif m == "rscatter":
+            timed(
+                "route_scatter [1,6,10k,256]bf16 -> [1,40k]",
+                lambda a_: route_scatter(a_, top_idx, r_inv, r_found),
+                attn_c,
+            )
+        elif m == "permv":
+            # same permute via vmap(arr[p]) — route_gather's lowering hit
+            # ~124 GB/s where take_along_axis ran at 31-42
+            timed(
+                "perm cat via vmap arr[p]",
+                lambda c_: jax.vmap(lambda a, p_: a[p_])(c_, perm), cat,
+            )
+        elif m == "unsortv":
+            timed(
+                "unsort out via vmap arr[p]",
+                lambda o_: jax.vmap(lambda a, p_: a[p_])(o_, inv), out_s,
+            )
+        elif m == "tsa":
+            from bevformer_tpu.models.attention import TemporalSelfAttention
+            from bevformer_tpu.configs.config import FusedSpec
+            tsa = TemporalSelfAttention(
+                fused_msda=FusedSpec(msda="bf16", audit=False),
+                dtype=jnp.bfloat16,
+            )
+            qt = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+            vq = jnp.array(rng.randn(1, 2, QBEV, e) * 0.1, jnp.float32)
+            qp = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+            hr = jnp.array(rng.rand(1, 2, QBEV, 1, 2), jnp.float32)
+            pt = jax.jit(
+                lambda k: tsa.init(k, qt, vq, qp, hr, 200, 200)
+            )(jax.random.PRNGKey(0))
+
+            def tsa_fn(q_):
+                return tsa.apply(pt, q_, vq, qp, hr, 200, 200)
+            timed("TSA module [1,40k,256]", tsa_fn, qt)
+        elif m == "tsakern":
+            from bevformer_tpu.kernels.msda_hi import ms_deform_attn_hi
+            vcm2 = jnp.array(rng.randn(2, e, QBEV) * 0.1, jnp.bfloat16)
+            locT = jnp.array(rng.rand(2, QBEV, 8 * 4 * 2) * 0.9, jnp.float32)
+            wT = jnp.array(rng.rand(2, QBEV, 8 * 4) * 0.1, jnp.float32)
+
+            def tkern(v_):
+                return ms_deform_attn_hi(
+                    None, ((200, 200),), locT, wT, heads=8, points=4,
+                    stride=2, halo=7, cap_tile=512,
+                    compute_dtype=jnp.bfloat16, value_cm=v_,
+                )
+            timed("TSA kernel alone", tkern, vcm2)
+        elif m == "wprep":
+            from bevformer_tpu.kernels.msda_hi import prepare_window_values_cm
+
+            def wp(v_):
+                wins = prepare_window_values_cm(
+                    v_, SHAPES, heads=h, stride=4, halo=9,
+                    compute_dtype=jnp.bfloat16,
+                )
+                return sum(w.ravel()[0].astype(jnp.float32) for w in wins)[None]
+            timed("SCA window prep (cm)", wp, value_cm)
+        elif m == "layer":
+            from bevformer_tpu.models.encoder import BEVFormerLayer
+            from bevformer_tpu.models.attention import sca_capacity_precompute
+            from bevformer_tpu.configs.config import FusedSpec
+
+            spec = FusedSpec(msda="bf16", audit=False)
+            layer = BEVFormerLayer(
+                embed_dims=e, num_heads=h, feedforward_channels=512,
+                ffn_dropout=0.1, num_cams=6, num_levels=l,
+                sca_capacity_ratio=0.25, fused_msda=spec,
+                dtype=jnp.bfloat16,
+            )
+            qt = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+            vt = jnp.array(rng.randn(1, 6, k, e) * 0.1, jnp.bfloat16)
+            bp = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+            vq = jnp.array(rng.randn(1, 2, QBEV, e) * 0.1, jnp.float32)
+            hr = jnp.array(rng.rand(1, 2, QBEV, 1, 2), jnp.float32)
+            ref_cam = jnp.array(rng.rand(1, 6, QBEV, nz, 2), jnp.float32)
+            maskq = jnp.array(rng.rand(1, 6, QBEV, nz) < 0.23)
+            pre_ = jax.jit(
+                lambda r_: sca_capacity_precompute(r_, maskq, 0.25)
+            )(ref_cam)
+
+            def mk(k_):
+                return layer.init(
+                    k_, qt, vt, bp, vq, hr, ref_cam, maskq, SHAPES,
+                    200, 200, sca_precomputed=pre_,
+                )
+            pl_ = jax.jit(mk)(jax.random.PRNGKey(0))
+
+            def lfn(q_):
+                return layer.apply(
+                    pl_, q_, vt, bp, vq, hr, ref_cam, maskq, SHAPES,
+                    200, 200, sca_precomputed=pre_,
+                )
+            timed("BEVFormerLayer full", lfn, qt)
+        elif m == "pre":
+            from bevformer_tpu.models.attention import sca_capacity_precompute
+            ref_cam = jnp.array(rng.rand(1, 6, QBEV, nz, 2), jnp.float32)
+            mask = jnp.array(rng.rand(1, 6, QBEV, nz) < 0.23)
+
+            def pre(r_):
+                out = sca_capacity_precompute(r_, mask, 0.25, with_sort=True)
+                return out["sort_perm"].astype(jnp.float32)
+            timed("sca_capacity_precompute", pre, ref_cam)
+        elif m == "topk":
+            vis = jnp.array(rng.rand(1, 6, QBEV), jnp.float32)
+            timed(
+                "top_k 40000->10112",
+                lambda v_: jax.lax.top_k(v_, 10112)[1].astype(jnp.float32),
+                vis,
+            )
+        elif m == "argsort":
+            keyx = jnp.array(rng.rand(6, 40448), jnp.float32)
+            timed(
+                "argsort [6,40448] f32",
+                lambda k_: jnp.argsort(k_, axis=1).astype(jnp.float32), keyx,
+            )
+        else:
+            raise ValueError(m)
+
+
+if __name__ == "__main__":
+    main()
