@@ -10,7 +10,7 @@ same field values. CLI `--cfg-options a.b=c` overrides are supported via
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 
 
@@ -30,9 +30,10 @@ class FusedSpec(NamedTuple):
     `multi_scale_deformable_attn_function.py:15-124`)."""
 
     msda: str = "auto"
-    sca_halo: Optional[int] = None
-    tsa_halo: Optional[int] = None
-    dec_halo: Optional[int] = None
+    # scalar or per-head tuple (see kernels/msda_hi._halos_tuple)
+    sca_halo: Any = None
+    tsa_halo: Any = None
+    dec_halo: Any = None
     audit: bool = False
 
 
@@ -137,17 +138,22 @@ class BEVFormerConfig:
     fused_dcn: str = "auto"
     # vertical-offset clip radius of the fused DCN kernel (feature pixels);
     # horizontal offsets are exact. Only used when the fused path is
-    # active. 3.0 at 1/8..1/32 feature resolution spans +-24..96 input
+    # active. 2.0 at 1/8..1/32 feature resolution spans +-16..64 input
     # pixels — beyond typical trained DCN offsets; the backbone sows a
     # clip-mass audit (fused_audit) and the evaluator guard raises this
-    # (+3 per widening) if a converted checkpoint exceeds it.
-    dcn_clip_y: float = 3.0
-    # fused-kernel row-window halos per call site (None = module defaults:
-    # SCA 13 / TSA 6 / decoder 40). The evaluator fused-path guard widens
-    # them when window_drop_mass reports loss on real inputs.
-    sca_fused_halo: Optional[int] = None
-    tsa_fused_halo: Optional[int] = None
-    dec_fused_halo: Optional[int] = None
+    # (+3 per widening) if a converted checkpoint exceeds it. Every unit
+    # of clip costs 2 window rows of pure MXU waste in the rc kernel
+    # (~90% matmul-bound, BENCH_NOTES round 4): 3.0 -> 2.0 cuts stage-3
+    # wrows 18 -> 16 (-11% DCN flops).
+    dcn_clip_y: float = 2.0
+    # fused-kernel row-window halos per call site, scalar or per-head
+    # tuple (None = module defaults: SCA (2,9,9,9,2,9,9,9) / TSA
+    # (4,6,6,6,4,6,6,6) / decoder 40, from tools/audit_halo.py perhead).
+    # The evaluator fused-path guard widens them when window_drop_mass
+    # reports loss on real inputs.
+    sca_fused_halo: Any = None
+    tsa_fused_halo: Any = None
+    dec_fused_halo: Any = None
     # sow fused-path exactness audits (drop mass, capacity clipping) into
     # the 'intermediates' collection (enable on eval audit passes)
     fused_audit: bool = False

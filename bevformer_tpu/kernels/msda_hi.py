@@ -28,12 +28,15 @@ heads INSIDE a step:
     over p happens as a dense reshape-sum on the output (no slot-lane
     padding, no iota matmul) and the backward's per-query cotangent is a
     contiguous block per tile.
-  * Window-value blocks are HEAD-MAJOR [b, nw, h, wrows*d, wwp_l]; each
-    (level, head) matmul slices one contiguous [wrows*d, wwp] panel —
-    same MXU work as v2, 8x fewer grid steps/block-fetch latencies. The
-    per-tile window is SHARED across heads, so the halo must cover the
-    all-heads row spread (one point stream's offsets are near-constant
-    per head at grid init; audit with `window_drop_mass_hi`).
+  * Window-value blocks are HEAD-MAJOR, grouped per halo CLASS:
+    out[lvl][cls] = [b, nw, h_cls, wrows_cls*d, wwp_l]; each (level,
+    head) matmul slices one contiguous [wrows_h*d, wwp] panel — same MXU
+    work as v2, 8x fewer grid steps/block-fetch latencies. Windows are
+    PER (query block, head) with PER-HEAD halos (the grid-init offset
+    bias is one-directional per head, so pure-x heads need rows only for
+    the tile span while y-heads add the point-scale spread; audit with
+    `window_drop_mass_hi`). Fully out-of-image items are excluded from
+    the window choice (they contribute zero output).
   * Bilinear factorization, out-of-window drop semantics and the
     scatter-free design are v2's; v2's oracle tests pin v3 too
     (tests/test_msda_hi.py).
@@ -60,7 +63,7 @@ LANE = 128
 NCH = 6  # payload channels per (level, head): x0, wx0, wx1, y0, wy0, wy1
 
 
-def effective_halo(stride: int, halo: int) -> int:
+def effective_halo(stride: int, halo) -> int:
     """Identity (kept for call-site compatibility): wrows used to be
     rounded up to a stride multiple for the grouped window construction;
     `prepare_window_values_*` now stack whole stride-row groups PLUS one
@@ -72,18 +75,53 @@ def effective_halo(stride: int, halo: int) -> int:
     return halo
 
 
+def _halos_tuple(halo, h) -> tuple:
+    """Normalize a halo spec to a per-head tuple of length h.
+
+    The grid-init offset bias is ONE-directional per head (s_h*(i+1)), so
+    per-head row spreads differ wildly: at base SCA the pure-x heads
+    (0, 4 of 8) are drop-free at halo 2 where the y-heads need 9
+    (tools/audit_halo + per-head audit, BENCH_NOTES round 4). Per-head
+    halos cut the window matmul M dim head-by-head; heads sharing a halo
+    share one window array (see _head_classes)."""
+    if isinstance(halo, (tuple, list)):
+        if len(halo) != h:  # e.g. an 8-head default on a toy model
+            return (int(max(halo)),) * h
+        return tuple(int(x) for x in halo)
+    return (int(halo),) * h
+
+
+def _head_classes(halos: tuple):
+    """Group heads by halo value. Returns (distinct_halos, cls_of_head,
+    pos_in_class, heads_of_class) — heads with equal halo share one
+    window array, indexed by their position within the class."""
+    distinct = sorted(set(halos))
+    cls_of = tuple(distinct.index(x) for x in halos)
+    pos_in = []
+    counts = [0] * len(distinct)
+    for c in cls_of:
+        pos_in.append(counts[c])
+        counts[c] += 1
+    heads_of = tuple(
+        tuple(i for i, c in enumerate(cls_of) if c == ci)
+        for ci in range(len(distinct))
+    )
+    return tuple(distinct), cls_of, tuple(pos_in), heads_of
+
+
 def prepare_window_values_hi(
     value: jnp.ndarray,  # [B, K, H*D] (flat) or [B, K, H, D]
     spatial_shapes,
     *,
     heads: Optional[int] = None,
     stride: int = 4,
-    halo: int = 13,
+    halo=13,
     compute_dtype=jnp.bfloat16,
 ):
-    """Per-level HEAD-MAJOR overlapping row-window blocks
-    [B, nw, H, wrows*D, WWp]; window j holds image rows
-    [j*stride, j*stride + wrows) (zero-padded past the image)."""
+    """Per-level, per-halo-class HEAD-MAJOR overlapping row-window blocks:
+    returns out[lvl][cls] = [B, nw, Hc, wrows_c*D, WWp]; window j holds
+    image rows [j*stride, j*stride + wrows_c) (zero-padded past the
+    image). With a scalar halo there is a single class (out[lvl][0])."""
     if value.ndim == 4:
         b, k, h, d = value.shape
         val = value
@@ -94,34 +132,44 @@ def prepare_window_values_hi(
         val = value.reshape(b, k, h, d)
     starts, sizes, total = _level_bounds(spatial_shapes)
     assert total == k
-    wrows = stride + halo + 1
-    g = wrows // stride  # full stride-row groups per window
-    rem = wrows % stride  # plus one partial group of rem rows
+    halos = _halos_tuple(halo, h)
+    distinct, _, _, heads_of = _head_classes(halos)
     out = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
         wwp = _round_up(ww, LANE)
-        img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 1)
-        img = img.reshape(b, hh, ww, h, d).astype(compute_dtype)
-        hpad = (nw + g) * stride  # >= (nw - 1) * stride + wrows
-        img = jnp.pad(
-            img, ((0, 0), (0, hpad - hh), (0, wwp - ww), (0, 0), (0, 0))
-        )
-        # ONE big transpose (minor ww stays large), then whole-group
-        # stacking: window j = stride-row groups j .. j+g-1 (+ the first
-        # rem rows of group j+g)
-        t = img.transpose(0, 3, 1, 4, 2)  # [b, h, hpad, d, wwp]
-        tg = t.reshape(b, h, hpad // stride, stride, d, wwp)
-        tgf = tg.reshape(b, h, hpad // stride, stride * d, wwp)
-        parts = [tgf[:, :, o: o + nw] for o in range(g)]
-        if rem:
-            parts.append(
-                tg[:, :, g: g + nw, :rem].reshape(b, h, nw, rem * d, wwp)
+        img0 = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 1)
+        img0 = img0.reshape(b, hh, ww, h, d).astype(compute_dtype)
+        per_cls = []
+        for ci, hv in enumerate(distinct):
+            wrows = stride + hv + 1
+            g = wrows // stride  # full stride-row groups per window
+            rem = wrows % stride  # plus one partial group of rem rows
+            hc = len(heads_of[ci])
+            img = img0[:, :, :, list(heads_of[ci]), :]
+            hpad = (nw + g) * stride  # >= (nw - 1) * stride + wrows
+            img = jnp.pad(
+                img,
+                ((0, 0), (0, hpad - hh), (0, wwp - ww), (0, 0), (0, 0)),
             )
-        wins = jnp.concatenate(
-            [p.reshape(b, h, nw, -1, wwp) for p in parts], axis=3
-        )  # [b, h, nw, wrows*d, wwp]
-        out.append(wins.transpose(0, 2, 1, 3, 4))  # [b, nw, h, rm, wwp]
+            # ONE big transpose (minor ww stays large), then whole-group
+            # stacking: window j = stride-row groups j .. j+g-1 (+ the
+            # first rem rows of group j+g)
+            t = img.transpose(0, 3, 1, 4, 2)  # [b, hc, hpad, d, wwp]
+            tg = t.reshape(b, hc, hpad // stride, stride, d, wwp)
+            tgf = tg.reshape(b, hc, hpad // stride, stride * d, wwp)
+            parts = [tgf[:, :, o: o + nw] for o in range(g)]
+            if rem:
+                parts.append(
+                    tg[:, :, g: g + nw, :rem].reshape(
+                        b, hc, nw, rem * d, wwp
+                    )
+                )
+            wins = jnp.concatenate(
+                [p.reshape(b, hc, nw, -1, wwp) for p in parts], axis=3
+            )  # [b, hc, nw, wrows*d, wwp]
+            per_cls.append(wins.transpose(0, 2, 1, 3, 4))
+        out.append(per_cls)  # out[lvl][cls] = [b, nw, hc, rm_c, wwp]
     return out
 
 
@@ -152,33 +200,46 @@ def prepare_window_values_cm(
         val = value_cm
     starts, sizes, total = _level_bounds(spatial_shapes)
     assert total == k
-    wrows = stride + halo + 1
-    g = wrows // stride
-    rem = wrows % stride
+    halos = _halos_tuple(halo, h)
+    distinct, _, _, heads_of = _head_classes(halos)
     out = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
         wwp = _round_up(ww, LANE)
-        img = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 2)
-        img = img.reshape(b, h, d, hh, ww).astype(compute_dtype)
-        hpad = (nw + g) * stride
-        img = jnp.pad(
-            img, ((0, 0), (0, 0), (0, 0), (0, hpad - hh), (0, wwp - ww)))
-        tg = img.reshape(b, h, d, hpad // stride, stride, wwp)
-        tg = tg.transpose(0, 3, 1, 4, 2, 5)  # [b, ng, h, stride, d, wwp]
-        parts = [
-            tg.reshape(b, hpad // stride, h, stride * d, wwp)[:, o: o + nw]
-            for o in range(g)
-        ]
-        if rem:
-            parts.append(
-                tg[:, g: g + nw, :, :rem].reshape(b, nw, h, rem * d, wwp)
+        img0 = jax.lax.dynamic_slice_in_dim(val, starts[lvl], hh * ww, 2)
+        img0 = img0.reshape(b, h, d, hh, ww).astype(compute_dtype)
+        per_cls = []
+        for ci, hv in enumerate(distinct):
+            wrows = stride + hv + 1
+            g = wrows // stride
+            rem = wrows % stride
+            hc = len(heads_of[ci])
+            img = img0[:, list(heads_of[ci])]
+            hpad = (nw + g) * stride
+            img = jnp.pad(
+                img,
+                ((0, 0), (0, 0), (0, 0), (0, hpad - hh), (0, wwp - ww)),
             )
-        out.append(jnp.concatenate(parts, axis=3))  # [b, nw, h, rm, wwp]
+            tg = img.reshape(b, hc, d, hpad // stride, stride, wwp)
+            tg = tg.transpose(0, 3, 1, 4, 2, 5)  # [b, ng, hc, stride, d, wwp]
+            parts = [
+                tg.reshape(
+                    b, hpad // stride, hc, stride * d, wwp
+                )[:, o: o + nw]
+                for o in range(g)
+            ]
+            if rem:
+                parts.append(
+                    tg[:, g: g + nw, :, :rem].reshape(
+                        b, nw, hc, rem * d, wwp
+                    )
+                )
+            per_cls.append(jnp.concatenate(parts, axis=3))
+        out.append(per_cls)  # out[lvl][cls] = [b, nw, hc, rm_c, wwp]
     return out
 
 
-def _kernel_hi(wrows, d, h, stride, n_levels, ct, npnt, compute_dtype,
+def _kernel_hi(d, h, stride, n_levels, ct, npnt, compute_dtype,
                jrow_ref, pay_ref, *refs):
     """One (batch, item-tile) step: ALL levels and heads fused.
 
@@ -211,19 +272,21 @@ def _kernel_hi(wrows, d, h, stride, n_levels, ct, npnt, compute_dtype,
         for lvl in range(n_levels):
             c0 = (lvl * h + hd_i) * NCH
             pay = pay_ref[0, 0, c0: c0 + NCH, :].astype(jnp.float32)
-            x0 = pay[0:1]
-            wx0 = pay[1:2]
-            wx1 = pay[2:3]
             y0 = pay[3:4]
             wy0 = pay[4:5]
             wy1 = pay[5:6]
-            val = val_refs[lvl * h + hd_i][0, 0, 0]  # [wrows*d, wwp]
+            val = val_refs[lvl * h + hd_i][0, 0, 0]  # [wrows_h*d, wwp]
             wwp = val.shape[-1]
+            wrows_h = val.shape[0] // d  # per-HEAD window rows (halo_h)
+            # wcol build stays in i32 compares + f32 selects: the v5e VPU
+            # has NO sub-f32 compare ("Target does not support this
+            # comparison" for bf16 arith.cmpf) — a native-bf16 build was
+            # tried and rejected by Mosaic (round 4).
             cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
-            xi = x0.astype(jnp.int32)
+            xi = pay[0:1].astype(jnp.int32)
             wcol = (
-                jnp.where(cio == xi, wx0, 0.0)
-                + jnp.where(cio == xi + 1, wx1, 0.0)
+                jnp.where(cio == xi, pay[1:2], 0.0)
+                + jnp.where(cio == xi + 1, pay[2:3], 0.0)
             )
             tmat = jnp.dot(
                 val.astype(compute_dtype),
@@ -234,7 +297,7 @@ def _kernel_hi(wrows, d, h, stride, n_levels, ct, npnt, compute_dtype,
             base = (
                 jrow_ref[lvl * h + hd_i, i, t // npnt] * stride
             ).astype(jnp.float32)
-            for r in range(wrows):
+            for r in range(wrows_h):
                 fr = base + float(r)
                 wr = (
                     jnp.where(y0 == fr, wy0, 0.0)
@@ -295,7 +358,7 @@ def _bilinear_channels(locT, awT, spatial_shapes, h, p, unfold_aw=False):
     return chan6, extras, y0i
 
 
-def _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows):
+def _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows_h):
     """Per-(level, head) tile-window indices, batched per level.
 
     y0i [b, nch(l,h,p), q_pad] -> jrow [L*H, b, ntq]. Window per (QUERY
@@ -303,26 +366,37 @@ def _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows):
     windows keep the halo at the one-directional per-head offset spread
     (~8 rows at grid init) instead of the cross-head +-8 a fully shared
     window would need; j is monotone over query blocks per head (the
-    backward accumulation relies on it)."""
+    backward accumulation relies on it). wrows_h: per-head window rows
+    (length-h tuple) — `_tile_windows` centers/clamps each head's window
+    with its own width (rows are head-major, so the per-row wrows column
+    broadcasts)."""
     b = y0i.shape[0]
+    wr = jnp.repeat(jnp.asarray(wrows_h, jnp.int32), b)[:, None]  # [h*b, 1]
     jrows = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
         yl = y0i[:, lvl * h * p: (lvl + 1) * h * p]
         yl = yl.reshape(b, h, p, ntq, ct).transpose(1, 0, 3, 2, 4)
+        yl = yl.reshape(h * b, ntq * p * ct)
+        # fully out-of-image rows contribute ZERO output (both bilinear
+        # corners masked) — exclude them from the window choice so dead
+        # items (SCA routing slack slots project anywhere) never drag the
+        # window off the live ones
+        dead = (yl < -1) | (yl >= hh)
         j = _tile_windows(
-            yl.reshape(h * b, ntq * p * ct), ntq, p * ct, stride, wrows, nw
+            jnp.where(dead, 4 * hh + 8, yl), ntq, p * ct, stride, wr, nw,
+            y0i_hi=jnp.where(dead, -4 * hh - 8, yl),
         )
         jrows.append(j.reshape(h, b, ntq))
     return jnp.concatenate(jrows, axis=0)  # [L*H, b, ntq]
 
 
 def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
-             h, p, ct, stride, wrows, compute_dtype):
+             h, p, ct, stride, wrows_h, compute_dtype):
     """Vectorized payload prep (see _bilinear_channels).
 
     Returns (pay [b, nt, L*H*NCH, ct], jrow [L*H, b, ntq], q_pad, nt,
-    ntq)."""
+    ntq). wrows_h: per-head window rows (length-h tuple)."""
     b, qn, _ = sampling_locations.shape
     l = len(spatial_shapes)
     ntq = -(-qn // ct)
@@ -344,7 +418,7 @@ def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
     chan6 = chan6.astype(compute_dtype)
     pay = chan6.reshape(b, l * h, p, NCH, ntq, ct).transpose(0, 4, 2, 1, 3, 5)
     pay = pay.reshape(b, nt, l * h * NCH, ct)
-    jrow = _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows)
+    jrow = _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows_h)
     return pay, jrow, q_pad, nt, ntq
 
 
@@ -386,28 +460,29 @@ def _forward_hi(
     d = hd // h
     qn = sampling_locations.shape[1]
     l = len(spatial_shapes)
-    halo = effective_halo(stride, halo)
-    wrows = stride + halo + 1
+    halos = _halos_tuple(halo, h)
+    cls_of = _head_classes(halos)[1]
+    pos_in = _head_classes(halos)[2]
+    wrows_h = tuple(stride + hv + 1 for hv in halos)
     ct = cap_tile
 
     if window_values is None:
         if value_cm is not None:
             window_values = prepare_window_values_cm(
                 value_cm, spatial_shapes, heads=h, stride=stride,
-                halo=halo, compute_dtype=compute_dtype,
+                halo=halos, compute_dtype=compute_dtype,
             )
         else:
             window_values = prepare_window_values_hi(
-                value, spatial_shapes, heads=h, stride=stride, halo=halo,
+                value, spatial_shapes, heads=h, stride=stride, halo=halos,
                 compute_dtype=compute_dtype,
             )
 
     pay, jrow, q_pad, nt, ntq = _prep_hi(
         sampling_locations, attention_weights, spatial_shapes,
-        h, p, ct, stride, wrows, compute_dtype,
+        h, p, ct, stride, wrows_h, compute_dtype,
     )
 
-    rm = wrows * d
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nt),
@@ -419,11 +494,15 @@ def _forward_hi(
         + [
             # t // p here MUST mirror _kernel_hi's t // npnt (npnt == p is
             # passed positionally into its functools.partial): both recover
-            # the query-block index from the block-major tile id.
-            (lambda li_, wwp_: pl.BlockSpec(
-                (1, 1, 1, rm, wwp_),
-                lambda i, t, jr, li=li_: (i, jr[li, i, t // p], li % h, 0, 0),
-            ))(lvl_ * h + hd_, _round_up(ww, LANE))
+            # the query-block index from the block-major tile id. Each
+            # (level, head) ref slices head pos_in[hd] of its halo CLASS
+            # array; the block's row count wrows_h[hd]*d is per-head.
+            (lambda li_, wwp_, rm_, pos_: pl.BlockSpec(
+                (1, 1, 1, rm_, wwp_),
+                lambda i, t, jr, li=li_, po=pos_: (
+                    i, jr[li, i, t // p], po, 0, 0),
+            ))(lvl_ * h + hd_, _round_up(ww, LANE), wrows_h[hd_] * d,
+               pos_in[hd_])
             for lvl_, (hh, ww) in enumerate(spatial_shapes)
             for hd_ in range(h)
         ],
@@ -433,13 +512,14 @@ def _forward_hi(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel_hi, wrows, d, h, stride, l, ct, p, compute_dtype,
+            _kernel_hi, d, h, stride, l, ct, p, compute_dtype,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt, h * d, ct), compute_dtype),
         interpret=interpret,
     )(jrow, pay, *[
-        window_values[lvl] for lvl in range(l) for _ in range(h)
+        window_values[lvl][cls_of[hd_]]
+        for lvl in range(l) for hd_ in range(h)
     ])
 
     # per-query point sum + back to [b, q', h*d]; the (h*d, ct)->(ct, h*d)
@@ -455,13 +535,14 @@ def window_drop_mass_hi(
 ):
     """In-graph audit: attention mass lost to out-of-window rows for the
     heads-inner, query-block-major tiling (per-(query-block, head) window
-    shared across that head's point streams). Returns [n_levels]."""
+    shared across that head's point streams; per-head halos supported).
+    Returns [n_levels]."""
     b, qn, _ = sampling_locations.shape
     h, p = heads, points
     l = len(spatial_shapes)
     ct = cap_tile
-    halo = effective_halo(stride, halo)
-    wrows = stride + halo + 1
+    halos = _halos_tuple(halo, h)
+    wrows_h = tuple(stride + hv + 1 for hv in halos)
     ntq = -(-qn // ct)
     q_pad = ntq * ct
 
@@ -486,10 +567,16 @@ def window_drop_mass_hi(
         # streams — same construction as _prep_hi
         ys = y0i.reshape(b, ntq, ct, h, p).transpose(0, 3, 1, 4, 2)
         # [b, h, ntq, p, ct]
+        # dead-row masking MUST mirror _jrow_levels (fully out-of-image
+        # items are excluded from the window choice)
+        dead = (ys < -1) | (ys >= hh)
+        ys_lo = jnp.where(dead, 4 * hh + 8, ys)
+        ys_hi = jnp.where(dead, -4 * hh - 8, ys)
         jrow_h = jnp.stack([
             _tile_windows(
-                ys[:, hd_i].reshape(b, ntq * p * ct), ntq, p * ct,
-                stride, wrows, nw,
+                ys_lo[:, hd_i].reshape(b, ntq * p * ct), ntq, p * ct,
+                stride, wrows_h[hd_i], nw,
+                y0i_hi=ys_hi[:, hd_i].reshape(b, ntq * p * ct),
             )
             for hd_i in range(h)
         ], axis=1)  # [b, h, ntq]
@@ -503,8 +590,9 @@ def window_drop_mass_hi(
         )
         wy0 = (1.0 - tyg) * ((y0g >= 0) & (y0g < hh))
         wy1 = tyg * ((y0g >= -1) & (y0g < hh - 1))
-        out0 = (y0g < base) | (y0g > base + wrows - 1)
-        out1 = (y0g + 1 < base) | (y0g + 1 > base + wrows - 1)
+        wrv = jnp.array(wrows_h, jnp.int32)[None, None, None, :, None]
+        out0 = (y0g < base) | (y0g > base + wrv - 1)
+        out1 = (y0g + 1 < base) | (y0g + 1 > base + wrv - 1)
         lost = awg * (wy0 * out0 + wy1 * out1)
         dropped.append(lost.sum())
     return jnp.stack(dropped)
@@ -514,7 +602,7 @@ NCHB = 12  # backward payload channels per (point, level, head)
 
 
 def _prep_hi_bwd(sampling_locations, attention_weights, spatial_shapes,
-                 h, p, ct, stride, wrows, compute_dtype):
+                 h, p, ct, stride, wrows_h, compute_dtype):
     """Backward payload [b, ntq, P*L*H*NCHB, ct] (points OUTER) + the same
     per-query-block jrow as the forward. Channels per (p, l, h):
     (x0, wx0n, wx1n, y0, wy0, wy1, vy0, vy1, aw, vx0, vx1, 0) — forward
@@ -541,7 +629,7 @@ def _prep_hi_bwd(sampling_locations, attention_weights, spatial_shapes,
     pay = chan12.reshape(b, l, h, p, NCHB, ntq, ct)
     pay = pay.transpose(0, 5, 3, 1, 2, 4, 6)  # [b, ntq, p, l, h, 12, ct]
     pay = pay.reshape(b, ntq, p * l * h * NCHB, ct)
-    jrow = _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows)
+    jrow = _jrow_levels(y0i, spatial_shapes, h, p, ntq, ct, stride, wrows_h)
     return pay, jrow, q_pad, ntq
 
 
@@ -554,7 +642,7 @@ def _rowcomb_hi(tm, w0, w1, y0, base, wrows, d):
     return acc
 
 
-def _bwd_aux_kernel_hi(wrows, d, h, p, stride, n_levels, ct, compute_dtype,
+def _bwd_aux_kernel_hi(d, h, p, stride, n_levels, ct, compute_dtype,
                        jrow_ref, pay_ref, g_ref, *refs):
     """Per (b, query-block): dAttw and dLoc ingredients for every
     (point, level, head), cotangent dot reduced in-kernel.
@@ -593,6 +681,7 @@ def _bwd_aux_kernel_hi(wrows, d, h, p, stride, n_levels, ct, compute_dtype,
                 g = g_ref[0, hd_i * d: (hd_i + 1) * d, :].astype(jnp.float32)
                 val = val_refs[lvl * h + hd_i][0, 0, 0]
                 wwp = val.shape[-1]
+                wrows = val.shape[0] // d  # per-HEAD window rows (halo_h)
                 cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
                 xi = x0.astype(jnp.int32)
                 wcol = (jnp.where(cio == xi, wx0n, 0.0)
@@ -620,7 +709,7 @@ def _bwd_aux_kernel_hi(wrows, d, h, p, stride, n_levels, ct, compute_dtype,
                 out_ref[0, 0, o0 + 2: o0 + 3, :] = dlocx.astype(out_ref.dtype)
 
 
-def _bwd_dval_kernel_hi(wrows, d, h, p, stride, n_levels, ct,
+def _bwd_dval_kernel_hi(d, h, p, stride, n_levels, ct,
                         compute_dtype, jrow_ref, pay_ref, g_ref, *out_refs):
     """Per (b, query-block): accumulate dValue window-gradient blocks
     [1, 1, h, wrows*d, wwp] per level. Query blocks sharing a window index
@@ -633,6 +722,7 @@ def _bwd_dval_kernel_hi(wrows, d, h, p, stride, n_levels, ct,
         for hd_i in range(h):
             out_ref = out_refs[lvl * h + hd_i]
             wwp = out_ref.shape[-1]
+            wrows = out_ref.shape[-2] // d  # per-HEAD window rows
             j = jrow_ref[lvl * h + hd_i, i, t]
             base = (j * stride).astype(jnp.float32)
             jprev = jrow_ref[lvl * h + hd_i, i, jnp.maximum(t - 1, 0)]
@@ -749,29 +839,30 @@ def _backward_hi(
     qn = sampling_locations.shape[1]
     l = len(spatial_shapes)
     ct = cap_tile
-    halo = effective_halo(stride, halo)
-    wrows = stride + halo + 1
+    halos = _halos_tuple(halo, h)
+    cls_of = _head_classes(halos)[1]
+    pos_in = _head_classes(halos)[2]
+    wrows_h = tuple(stride + hv + 1 for hv in halos)
 
     if cm:
         window_values = prepare_window_values_cm(
-            value, spatial_shapes, heads=h, stride=stride, halo=halo,
+            value, spatial_shapes, heads=h, stride=stride, halo=halos,
             compute_dtype=compute_dtype,
         )
     else:
         window_values = prepare_window_values_hi(
-            value, spatial_shapes, heads=h, stride=stride, halo=halo,
+            value, spatial_shapes, heads=h, stride=stride, halo=halos,
             compute_dtype=compute_dtype,
         )
     pay, jrow, q_pad, ntq = _prep_hi_bwd(
         sampling_locations, attention_weights, spatial_shapes,
-        h, p, ct, stride, wrows, compute_dtype,
+        h, p, ct, stride, wrows_h, compute_dtype,
     )
     # per-query cotangents, contiguous per tile: [b, h*d, q_pad]
     gT = jnp.swapaxes(g.astype(jnp.float32), 1, 2)
     if q_pad != qn:
         gT = jnp.pad(gT, ((0, 0), (0, 0), (0, q_pad - qn)))
 
-    rm = wrows * d
     nl = l
 
     # ---- pass 1: dAttw / dLoc ----
@@ -785,10 +876,11 @@ def _backward_hi(
             pl.BlockSpec((1, hd, ct), lambda i, t, jr: (i, 0, t)),
         ]
         + [
-            (lambda li_, wwp_: pl.BlockSpec(
-                (1, 1, 1, rm, wwp_),
-                lambda i, t, jr, li=li_: (i, jr[li, i, t], li % h, 0, 0),
-            ))(lvl_ * h + hd_, _round_up(ww, LANE))
+            (lambda li_, wwp_, rm_, pos_: pl.BlockSpec(
+                (1, 1, 1, rm_, wwp_),
+                lambda i, t, jr, li=li_, po=pos_: (i, jr[li, i, t], po, 0, 0),
+            ))(lvl_ * h + hd_, _round_up(ww, LANE), wrows_h[hd_] * d,
+               pos_in[hd_])
             for lvl_, (hh, ww) in enumerate(spatial_shapes)
             for hd_ in range(h)
         ],
@@ -798,7 +890,7 @@ def _backward_hi(
     )
     aux = pl.pallas_call(
         functools.partial(
-            _bwd_aux_kernel_hi, wrows, d, h, p, stride, nl, ct,
+            _bwd_aux_kernel_hi, d, h, p, stride, nl, ct,
             compute_dtype,
         ),
         grid_spec=aux_spec,
@@ -807,7 +899,8 @@ def _backward_hi(
         ),
         interpret=interpret,
     )(jrow, pay, gT, *[
-        window_values[lvl] for lvl in range(nl) for _ in range(h)
+        window_values[lvl][cls_of[hd_]]
+        for lvl in range(nl) for hd_ in range(h)
     ])
 
     # ---- pass 2: dValue window gradients ----
@@ -821,33 +914,35 @@ def _backward_hi(
             pl.BlockSpec((1, hd, ct), lambda i, t, jr: (i, 0, t)),
         ],
         out_specs=[
-            (lambda li_, wwp_: pl.BlockSpec(
-                (1, 1, 1, rm, wwp_),
+            (lambda li_, wwp_, rm_: pl.BlockSpec(
+                (1, 1, 1, rm_, wwp_),
                 lambda i, t, jr, li=li_: (i, jr[li, i, t], 0, 0, 0),
-            ))(lvl_ * h + hd_, _round_up(ww, LANE))
+            ))(lvl_ * h + hd_, _round_up(ww, LANE), wrows_h[hd_] * d)
             for lvl_, (hh, ww) in enumerate(spatial_shapes)
             for hd_ in range(h)
         ],
     )
     dwin = pl.pallas_call(
         functools.partial(
-            _bwd_dval_kernel_hi, wrows, d, h, p, stride, nl, ct,
+            _bwd_dval_kernel_hi, d, h, p, stride, nl, ct,
             compute_dtype,
         ),
         grid_spec=dval_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (b, _n_windows(hh, stride), 1, rm, _round_up(ww, LANE)),
+                (b, _n_windows(hh, stride), 1, wrows_h[hd_] * d,
+                 _round_up(ww, LANE)),
                 jnp.float32,
             )
             for (hh, ww) in spatial_shapes
-            for _hd in range(h)
+            for hd_ in range(h)
         ],
         interpret=interpret,
     )(jrow, pay, gT)
 
-    # assemble dValue: mask never-visited windows per head, stack heads,
-    # fold overlaps
+    # assemble dValue: mask never-visited windows, fold overlaps PER HEAD
+    # (per-head wrows differ), then stack heads head-major
+    fold = _fold_windows_cm if cm else _fold_windows_hi
     dval_parts = []
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         nw = _n_windows(hh, stride)
@@ -859,12 +954,13 @@ def _backward_hi(
                 axis=1,
             )  # [b, nw]
             # where(), not multiply: unvisited blocks hold garbage (NaN)
-            per_head.append(jnp.where(
-                visited[:, :, None, None, None], dwin[li], 0.0
-            ))
-        dw = jnp.concatenate(per_head, axis=2)  # [b, nw, h, rm, wwp]
-        fold = _fold_windows_cm if cm else _fold_windows_hi
-        dval_parts.append(fold(dw, hh, ww, h, d, stride, wrows))
+            dw = jnp.where(visited[:, :, None, None, None], dwin[li], 0.0)
+            per_head.append(
+                fold(dw, hh, ww, 1, d, stride, wrows_h[hd_i])
+            )
+        dval_parts.append(
+            jnp.concatenate(per_head, axis=1 if cm else 2)
+        )
     dvalue = jnp.concatenate(
         dval_parts, axis=2 if cm else 1
     ).astype(value.dtype)
@@ -982,13 +1078,18 @@ def ms_deform_attn_hi(
 ):
     """Heads-inner fused windowed TPU deformable attention (see module
     docstring). Exact (vs `ms_deform_attn_jnp`) whenever each query
-    block's sampled rows — across ALL points and heads — fit its
-    stride+halo+1-row window; audit with `window_drop_mass_hi`.
-    Differentiable (scatter-free Pallas backward). Off-TPU the kernels
-    run interpreted (tests). Pass `value_cm` (channel-major [b, h*d, k],
-    value=None) when the caller's projection emits it directly — the
-    window prep then never relayouts the minor dim (~7.5 ms/layer
-    cheaper at base SCA scale)."""
+    block's sampled rows — per HEAD, across its points — fit that head's
+    stride+halo_h+1-row window; audit with `window_drop_mass_hi`.
+    `halo` is a scalar or a per-head tuple: the grid-init offset bias is
+    one-directional per head, so per-head halos cut the window matmul M
+    dim on the heads whose row spread is small (heads sharing a halo
+    share one window array). Differentiable (scatter-free Pallas
+    backward). Off-TPU the kernels run interpreted (tests). Pass
+    `value_cm` (channel-major [b, h*d, k], value=None) when the caller's
+    projection emits it directly — the window prep then never relayouts
+    the minor dim (~7.5 ms/layer cheaper at base SCA scale)."""
+    if isinstance(halo, list):
+        halo = tuple(halo)
     try:
         interpret = jax.devices()[0].platform != "tpu"
     except Exception:  # pragma: no cover

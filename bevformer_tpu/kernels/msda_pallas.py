@@ -457,11 +457,20 @@ def _fold_windows(dwin, hh, ww, d, stride, wrows):
     return img.transpose(0, 1, 3, 2).reshape(bh, hh * ww, d)
 
 
-def _tile_windows(y0i, nt, ct, stride, wrows, nw, segments=1):
+def _tile_windows(y0i, nt, ct, stride, wrows, nw, segments=1, y0i_hi=None):
     """Per-tile window index. The window [j*stride, j*stride + wrows - 1]
     must cover rows [lo, hi+1] (both bilinear corners of every item); when
     the tile's spread fits, clamp the centered choice into the covering
     range so the drop mass is exactly zero.
+
+    `y0i_hi`: optional separate array for the hi (max) side. Callers that
+    know some items contribute ZERO output regardless of window (fully
+    out-of-image rows: bilinear row masks kill both corners) pass
+    lo-masked y0 (+big at those items) here as `y0i` and hi-masked (-big)
+    as `y0i_hi`, so dead items never drag the window away from live ones
+    (SCA capacity routing fills spare slots with invisible queries whose
+    projections are arbitrary — measured 0.8% mass loss on border tiles
+    without the masking).
 
     The sequence is made MONOTONE non-decreasing along tiles (cumulative
     max): the backward dValue kernel accumulates tiles sharing a window
@@ -474,12 +483,18 @@ def _tile_windows(y0i, nt, ct, stride, wrows, nw, segments=1):
     visible to `window_drop_mass` (which shares this function)."""
     y0t = y0i.reshape(y0i.shape[0], nt, ct)
     lo = y0t.min(-1)
-    hi = y0t.max(-1)
+    hi = (y0i if y0i_hi is None else y0i_hi).reshape(
+        y0i.shape[0], nt, ct
+    ).max(-1)
     center = (lo + hi + 1 - wrows) // 2  # ideal window start row
     j_ideal = (center + stride // 2) // stride
     jmin = -((wrows - 2 - hi) // stride)  # ceil((hi+2-wrows)/stride)
     jmax = jnp.floor_divide(lo, stride)
     j = jnp.clip(jnp.clip(j_ideal, jmin, jmax), 0, nw - 1)
+    # all-dead tile (every item lo/hi-masked => lo > hi): any window works;
+    # 0 stays neutral under the cummax below (mid-stream dead tiles
+    # inherit the previous live window)
+    j = jnp.where(lo > hi, 0, j)
     # monotone per SEGMENT: the heads-inner kernel concatenates
     # independent point streams along the tile axis — row order (and
     # hence j) restarts at each stream boundary, so the cummax must too

@@ -74,6 +74,33 @@ def _offset_bias_init(num_heads, num_levels, num_points):
     return init
 
 
+def grid_msda_default_halos(
+    h: int, p: int, ct: int, bev_w: int, stride: int = 2
+):
+    """Per-head fused-kernel halos for GRID-ORDERED (row-major BEV)
+    queries — TSA. Two independent row costs:
+    - tile span: a ct-query tile touches ceil((ct-1)/bev_w)+1 grid rows
+      (geometry-exact; 4 at the 200-wide calibration BEV, 12 at a 50-wide
+      toy BEV — constant halos tuned at one width drop mass at another);
+    - per-head grid-init offset range: the bias law s_h*(i+1) is
+      one-directional, so head spread = |gy_h|*(p-1) rows (0 for the
+      pure-x heads).
+    The base values (pure-x 4, y-heads 3 + ceil(gy*(p-1))) reproduce the
+    minimal drop-free per-head sweep at 200x200/ct512/stride2
+    (tools/audit_halo.py perhead). Trained checkpoints whose offsets
+    drift further are caught by the runtime audit + evaluator guard."""
+    thetas = np.arange(h, dtype=np.float64) * (2.0 * math.pi / h)
+    g = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    gy = np.abs(g[:, 1]) / np.abs(g).max(-1)
+    gy = np.where(gy < 1e-6, 0.0, gy)
+    touched = -(-(ct - 1) // bev_w) + 1
+    extra = max(0, touched - 4)
+    return tuple(
+        int((4 if gyh == 0.0 else 3 + math.ceil(gyh * (p - 1))) + extra)
+        for gyh in gy
+    )
+
+
 @jax.custom_vjp
 def permute_rows(x, perm, inv):
     """take_along_axis row permute whose BACKWARD is the inverse gather.
@@ -263,13 +290,16 @@ class MSDeformableAttention3D(nn.Module):
     # tools/bench_hi_sweep.py), so keep the window as small as exactness
     # allows. The grid-init bias is ONE-directional per head (offsets
     # s_h*(i+1), same sign), so the within-tile row spread is ~7|s_h|,
-    # not +-8: halo 9 (wrows 14 now that windows take partial stride
-    # groups) is measured drop-free with margin 1 over the halo-8
-    # boundary (tools/audit_halo.py). Trained checkpoints whose offsets
-    # spread further are caught by the runtime drop-mass audit and
-    # auto-widened by the evaluator guard (cfg.sca_fused_halo override).
+    # not +-8 — and it differs PER HEAD: the pure-x heads (0, 4; s_y=0)
+    # are drop-free at halo 2 where the y-heads need 9
+    # (tools/audit_halo.py perhead; 3 shipped for one row of margin —
+    # real-rig toy geometry needs it, tests/test_fused_guard). Per-head
+    # halos cut the window matmul M dim 112 -> 100 row-units. Trained
+    # checkpoints whose offsets spread further are caught by the runtime
+    # drop-mass audit and auto-widened by the evaluator guard
+    # (cfg.sca_fused_halo override).
     fused_stride: int = 4
-    fused_halo: int = 9
+    fused_halo: Any = (3, 9, 9, 9, 3, 9, 9, 9)
     # kernel item-tile width (larger = less per-program overhead; a tile
     # must stay row-coherent, trivially true at production item counts)
     fused_cap_tile: int = 512
@@ -717,14 +747,15 @@ class TemporalSelfAttention(nn.Module):
     # fused Pallas windowed kernel: FusedSpec or bare mode string
     fused_msda: Any = "off"
     # TSA offsets are small and one-directional per head (grid-init bias
-    # s_h*(i+1), i < 4): stride 2 + halo 7 = 10 window rows, measured
-    # drop-free at 200x200 with margin (tools/audit_halo.py; the finer
-    # stride halves the window-start quantization loss, so the same halo
-    # covers with 2 fewer MXU rows — 11.5 -> 9.7 ms/layer at base,
-    # tools/bench_hi_sweep.py). cfg.tsa_fused_halo overrides; the
+    # s_h*(i+1), i < 4): stride 2 + "auto" = geometry-computed per-head
+    # halos (`grid_msda_default_halos`: (4,6,6,6,4,6,6,6) at 200x200 —
+    # the minimal drop-free per-head sweep, tools/audit_halo.py perhead —
+    # widening with the tile row span at narrower BEVs; the finer stride
+    # halves the window-start quantization loss — 11.5 -> 9.7 ms/layer at
+    # base, tools/bench_hi_sweep.py). cfg.tsa_fused_halo overrides; the
     # evaluator guard auto-widens on measured drop.
     fused_stride: int = 2
-    fused_halo: int = 7
+    fused_halo: Any = "auto"
     fused_cap_tile: int = 512
     dtype: jnp.dtype = jnp.float32
 
@@ -828,6 +859,10 @@ class TemporalSelfAttention(nn.Module):
             halo = (
                 spec.tsa_halo if spec.tsa_halo is not None else self.fused_halo
             )
+            if isinstance(halo, str):  # "auto": geometry-computed
+                halo = grid_msda_default_halos(
+                    h, p, self.fused_cap_tile, bev_w, self.fused_stride
+                )
             norm_flat = jnp.tile(
                 normalizer.reshape(-1), h * l * p
             )  # channel pairs (x, y)

@@ -134,16 +134,46 @@ class VideoEvaluator:
             if bad_drop:
                 # the drop scalar folds every fused approximation (msda
                 # windows + DCN vertical clip); widen all of them — over-
-                # widening only costs speed, never accuracy. Steps DOUBLE
-                # per attempt (8, 16, 32, 64, 128 rows): a linear step can
-                # stall under the retry bound when offsets are far past
-                # the halo (a ±12-row spread already needs wrows ≈ 38 at
-                # cap_tile=512 on a 50-wide BEV)
-                step = 8 << attempt
+                # widening only costs speed, never accuracy. First attempt
+                # is FINE (+2: borderline geometry — e.g. a checkpoint
+                # whose offsets sit one row past the halo — shouldn't pay
+                # an 8-row window tax forever); later attempts DOUBLE
+                # (8, 16, 32, 64 rows): a linear step can stall under the
+                # retry bound when offsets are far past the halo (a
+                # ±12-row spread already needs wrows ≈ 38 at cap_tile=512
+                # on a 50-wide BEV)
+                step = (2, 8, 16, 32, 64)[attempt]
+
+                def _widened(cur, default, s):
+                    # per-head tuples widen element-wise (the audit drop
+                    # scalar doesn't attribute mass to heads; widening
+                    # every head is safe, only slower)
+                    if cur is None:
+                        cur = default
+                    if isinstance(cur, (tuple, list)):
+                        return tuple(int(x) + s for x in cur)
+                    return cur + s
+
+                from bevformer_tpu.models import attention as _attn
+
+                tsa_default = _attn.TemporalSelfAttention.fused_halo
+                if isinstance(tsa_default, str):  # "auto"
+                    tsa_default = _attn.grid_msda_default_halos(
+                        c.num_heads, 4,
+                        _attn.TemporalSelfAttention.fused_cap_tile,
+                        c.bev_w,
+                        _attn.TemporalSelfAttention.fused_stride,
+                    )
                 updates.update(
-                    sca_fused_halo=(c.sca_fused_halo or 13) + step,
-                    tsa_fused_halo=(c.tsa_fused_halo or 6) + step,
-                    dec_fused_halo=(c.dec_fused_halo or 40) + 2 * step,
+                    sca_fused_halo=_widened(
+                        c.sca_fused_halo,
+                        _attn.MSDeformableAttention3D.fused_halo, step),
+                    tsa_fused_halo=_widened(
+                        c.tsa_fused_halo, tsa_default, step),
+                    dec_fused_halo=_widened(
+                        c.dec_fused_halo,
+                        _attn.CustomMSDeformableAttention.fused_halo,
+                        2 * step),
                     dcn_clip_y=c.dcn_clip_y + 3.0 * (1 << attempt),
                 )
             if bad_cap:

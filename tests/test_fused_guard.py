@@ -23,6 +23,13 @@ def _toy_cfg(**kw):
     base = dict(
         encoder_layers=1, decoder_layers=1, backbone_depth=10,
         fused_msda="fp32", sca_capacity_ratio=0.4,
+        # tiny geometry: the 15-row level-0 grid mixes anchor scales 1..8
+        # within a sorted tile, so the y-heads need halo 11 where the
+        # production default (measured at base geometry) is 9 — SCA item
+        # density is data-dependent, the guard (exercised below) is the
+        # universal mechanism, and this override pins "clean defaults for
+        # the geometry under test"
+        sca_fused_halo=(3, 11, 11, 11, 3, 11, 11, 11),
     )
     base.update(kw)
     return dataclasses.replace(cfg, **base)
@@ -105,7 +112,10 @@ def test_audit_reports_drop_and_guard_restores_exactness():
     ev._guard_frame(*batch[:3])
     rec = ev.audit_log[-1]
     assert rec["drop_frac"] <= 1e-6, rec
-    assert ev.cfg.tsa_fused_halo and ev.cfg.tsa_fused_halo > 6
+    def _hmax(h):
+        return max(h) if isinstance(h, (tuple, list)) else h
+
+    assert ev.cfg.tsa_fused_halo and _hmax(ev.cfg.tsa_fused_halo) > 6
 
     # the widened fused forward now matches the exact XLA path
     exact_model = BEVFormer(cfg=dataclasses.replace(cfg, fused_msda="off"))
@@ -147,9 +157,13 @@ def test_midrun_audit_acts_not_logs():
     # the drift happens mid-run: frame 7's periodic audit must catch it
     ev.params = poisoned
     ev._build()
+    def _hmax(h):
+        return max(h) if isinstance(h, (tuple, list)) else h
+
     halo_before = ev.cfg.tsa_fused_halo
     ev.infer_frame(frame(7))
-    assert ev.cfg.tsa_fused_halo and ev.cfg.tsa_fused_halo > (halo_before or 6)
+    assert ev.cfg.tsa_fused_halo and _hmax(ev.cfg.tsa_fused_halo) > (
+        _hmax(halo_before) if halo_before else 6)
     assert ev.audit_log[-1]["drop_frac"] <= 1e-6, ev.audit_log[-1]
 
     # without the guard the same event must raise, not warn

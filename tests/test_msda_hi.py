@@ -203,3 +203,79 @@ def test_hi_backward_matches_oracle(shapes, heads, points, stride):
             name, np.abs(b_ - a).max(), scale
         )
     jax.config.update("jax_enable_compilation_cache", True)
+
+
+def test_hi_per_head_halos():
+    """Per-head halo tuples (heads with a small row spread get narrow
+    windows, tools/audit_halo.py perhead): forward + backward must match
+    the oracle exactly when each head's spread fits ITS halo, and the
+    drop-mass audit must see per-head windows."""
+    from bevformer_tpu.kernels import msda_hi as mh
+
+    rng = np.random.RandomState(11)
+    shapes = ((24, 16), (12, 8))
+    b, q, heads, points, d = 1, 256, 4, 2, 16
+    l = len(shapes)
+    k = sum(hh * ww for hh, ww in shapes)
+    value = rng.randn(b, k, heads, d).astype(np.float32) * 0.5
+    # heads 0/2 tight (rows within +-0.15 grid units of the sorted
+    # anchor), heads 1/3 wide (+-2.5 rows at level 0)
+    base_y = np.sort(rng.rand(b, q).astype(np.float32), axis=1)
+    spread = np.array([0.01, 0.2, 0.01, 0.2], np.float32)
+    loc = rng.rand(b, q, heads, l, points, 2).astype(np.float32)
+    loc[..., 1] = (
+        base_y[:, :, None, None, None]
+        + (rng.rand(b, q, heads, l, points) - 0.5)
+        * spread[None, None, :, None, None]
+    )
+    loc = np.clip(loc, 0.0, 0.999).astype(np.float32)
+    w = rng.rand(b, q, heads, l, points).astype(np.float32)
+    loc_f, w_f = to_flat_lhp(loc, w)
+    halos = (3, 9, 3, 9)
+
+    dm = mh.window_drop_mass_hi(
+        shapes, jnp.asarray(loc_f), jnp.asarray(w_f),
+        heads=heads, points=points, stride=4, halo=halos, cap_tile=32,
+    )
+    assert float(dm.sum()) == 0.0, dm
+    # the tight halo alone would drop mass on the wide heads
+    dm_bad = mh.window_drop_mass_hi(
+        shapes, jnp.asarray(loc_f), jnp.asarray(w_f),
+        heads=heads, points=points, stride=4, halo=3, cap_tile=32,
+    )
+    assert float(dm_bad.sum()) > 0.0
+
+    ref = np.asarray(ms_deform_attn_jnp(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)
+    ))
+    scale = max(np.abs(ref).max(), 1e-6)
+
+    vflat = jnp.asarray(value.reshape(b, k, heads * d))
+
+    def f(v, lo, aw):
+        o = mh.ms_deform_attn_hi(
+            v, shapes, lo, aw, heads=heads, points=points, stride=4,
+            halo=halos, cap_tile=32,
+        )
+        return o, (o * jnp.arange(o.size).reshape(o.shape) * 1e-4).sum()
+
+    out, _ = f(vflat, jnp.asarray(loc_f), jnp.asarray(w_f))
+    assert np.abs(np.asarray(out) - ref).max() < 2e-5 * scale
+
+    def fr(v, lo, aw):
+        o = ms_deform_attn_jnp(
+            v.reshape(b, k, heads, d), shapes,
+            lo.reshape(b, q, l, heads, points, 2).transpose(
+                0, 1, 3, 2, 4, 5),
+            aw.reshape(b, q, l, heads, points).transpose(0, 1, 3, 2, 4),
+        ).reshape(b, q, heads * d)
+        return (o * jnp.arange(o.size).reshape(o.shape) * 1e-4).sum()
+
+    g = jax.grad(lambda *a: f(*a)[1], argnums=(0, 1, 2))(
+        vflat, jnp.asarray(loc_f), jnp.asarray(w_f))
+    gr = jax.grad(fr, argnums=(0, 1, 2))(
+        vflat, jnp.asarray(loc_f), jnp.asarray(w_f))
+    for name, a_, b_ in zip(("dval", "dloc", "dattw"), g, gr):
+        denom = float(jnp.abs(b_).max()) + 1e-9
+        err = float(jnp.abs(a_ - b_).max()) / denom
+        assert err < 5e-5, (name, err)

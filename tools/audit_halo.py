@@ -70,7 +70,7 @@ def tsa_drop(halo, stride=4, ct=512):
     return sum(dm), float(w_.sum())
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "perhead" not in sys.argv:
     for halo in (13, 11, 10, 9, 8, 7, 6):
         d, tot = sca_drop(halo)
         print(f"SCA halo={halo}: drop {d:.6f} / {tot:.0f}", flush=True)
@@ -126,3 +126,35 @@ def tsa_drop_hi(halo, stride=4, ct=512):
         cap_tile=ct,
     )
     return float(dm.sum()), float(w_.sum())
+
+
+def per_head_halos(drop_fn, h, cand, wide):
+    """Minimal drop-free halo PER HEAD: drop mass is additive over heads
+    and head hd's windows depend only on halo[hd], so sweep one head at a
+    time with every other head held at a known-drop-free `wide` halo."""
+    out = []
+    for hd in range(h):
+        best = wide
+        for hv in cand:  # descending
+            halos = tuple(hv if i == hd else wide for i in range(h))
+            d, _ = drop_fn(halos)
+            if float(d) == 0.0:
+                best = hv
+            else:
+                break
+        out.append(best)
+        print(f"  head {hd}: halo {best}", flush=True)
+    return tuple(out)
+
+
+if __name__ == "__main__" and "perhead" in sys.argv:
+    print("SCA per-head (stride 4):", flush=True)
+    sca_h = per_head_halos(
+        lambda hs: sca_drop_hi(hs), 8, list(range(9, -1, -1)), 9
+    )
+    print(f"SCA halos = {sca_h}", flush=True)
+    print("TSA per-head (stride 2):", flush=True)
+    tsa_h = per_head_halos(
+        lambda hs: tsa_drop_hi(hs, stride=2), 8, list(range(7, -1, -1)), 7
+    )
+    print(f"TSA halos = {tsa_h}", flush=True)

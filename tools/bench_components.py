@@ -45,6 +45,9 @@ def main():
     from __graft_entry__ import _example_inputs
 
     cfg = get_config(CONFIG).replace(dtype="bfloat16")
+    nl = os.environ.get("BENCH_LAYERS")
+    if nl:
+        cfg = cfg.replace(encoder_layers=int(nl))
     model = BEVFormer(cfg=cfg)
     images, can_bus, lidar2img, prev_bev, has_prev = _example_inputs(cfg)
     params = jax.jit(model.init)(

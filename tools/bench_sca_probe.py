@@ -225,6 +225,25 @@ def main():
                     200, 200, sca_precomputed=pre_,
                 )
             timed("BEVFormerLayer full", lfn, qt)
+        elif m == "ptsamp":
+            from bevformer_tpu.core import geometry
+            pc = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+            l2i = jnp.array(rng.randn(1, 6, 4, 4), jnp.float32)
+            r3d = geometry.reference_points_3d(200, 200, 8.0, nz, bs=1)
+
+            def ps(r_):
+                rc, bm = geometry.point_sampling(r_, pc, l2i, (928, 1600))
+                return rc.ravel()[:1] + bm.astype(jnp.float32).ravel()[:1]
+            timed("point_sampling", ps, r3d)
+        elif m == "rot":
+            from bevformer_tpu.core import geometry
+            pb = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+            ang = jnp.array([17.0], jnp.float32)
+
+            def rot(p_):
+                return geometry.rotate_prev_bev(p_, ang, 200, 200,
+                                                (100.0, 100.0))
+            timed("rotate_prev_bev", rot, pb)
         elif m == "pre":
             from bevformer_tpu.models.attention import sca_capacity_precompute
             ref_cam = jnp.array(rng.rand(1, 6, QBEV, nz, 2), jnp.float32)
