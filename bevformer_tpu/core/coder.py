@@ -32,7 +32,8 @@ def decode_single(
     score_threshold: Optional[float] = None,
 ) -> Dict[str, jnp.ndarray]:
     scores_all = jax.nn.sigmoid(cls_scores.astype(jnp.float32)).reshape(-1)
-    scores, idx = jax.lax.top_k(scores_all, max_num)
+    # toy configs can have fewer than max_num (Q*C) candidates
+    scores, idx = jax.lax.top_k(scores_all, min(max_num, scores_all.shape[0]))
     labels = idx % num_classes
     bbox_idx = idx // num_classes
     boxes_code = bbox_preds[bbox_idx]

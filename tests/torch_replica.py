@@ -877,3 +877,221 @@ class BEVFormerDetector(nn.Module):
         return self.pts_bbox_head(
             mlvl, can_bus, lidar2img, c.data.img_size, prev_bev=prev_bev
         )
+
+
+# --------------------------- V2 (BEVFormerV2) ---------------------------
+
+class BasicBlockRef(nn.Module):
+    """mmdet `BasicBlock` as used by ResNetFusion (`transformerV2.py:22-35`):
+    conv3x3-BN-relu-conv3x3-BN (+3x3-conv downsample) + residual relu."""
+
+    def __init__(self, in_ch, out_ch, downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, out_ch, 3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(out_ch)
+        self.conv2 = nn.Conv2d(out_ch, out_ch, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_ch)
+        self.downsample = None
+        if downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_ch, out_ch, 3, padding=1, bias=False),
+                nn.BatchNorm2d(out_ch),
+            )
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + identity)
+
+
+class ResNetFusionRef(nn.Module):
+    """`transformerV2.py:16-51`: cat per-frame BEVs channel-wise (NCHW),
+    BasicBlock stack, then nchw->n(hw)c + Linear + LayerNorm."""
+
+    def __init__(self, in_channels, out_channels, inter_channels, num_layer):
+        super().__init__()
+        layers = []
+        for i in range(num_layer):
+            if i == 0:
+                layers.append(
+                    BasicBlockRef(in_channels, inter_channels,
+                                  downsample=inter_channels != in_channels)
+                )
+            else:
+                layers.append(BasicBlockRef(inter_channels, inter_channels))
+        self.layers = nn.Sequential(*layers)
+        self.layer_norm = nn.Sequential(
+            nn.Linear(inter_channels, out_channels),
+            nn.LayerNorm(out_channels),
+        )
+
+    def forward(self, x_list):
+        x = torch.cat(x_list, 1).contiguous()  # [n, T*C, H, W]
+        x = self.layers(x)
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        return self.layer_norm(x)
+
+
+def bev_unwarp_ref(bev_nchw, bda_mat2, bev_h, bev_w):
+    """GlobalRotScaleTrans BEV unwarp (`transformerV2.py:144-172`):
+    grid_sample at bda-rotated normalized grid coords, align_corners=False,
+    zero padding."""
+    ys = torch.linspace(0.5, bev_h - 0.5, bev_h) / bev_h
+    xs = torch.linspace(0.5, bev_w - 0.5, bev_w) / bev_w
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    grid = torch.stack((gx, gy), -1) * 2.0 - 1.0  # [H, W, 2]
+    grid = grid.unsqueeze(0).unsqueeze(-1)  # [1, H, W, 2, 1]
+    bda = bda_mat2.view(1, 1, 1, 2, 2).repeat(1, bev_h, bev_w, 1, 1)
+    g = torch.matmul(bda, grid).squeeze(-1)  # [1, H, W, 2]
+    return torch.nn.functional.grid_sample(
+        bev_nchw, g, align_corners=False
+    )
+
+
+class GroupMultiheadAttentionRef(nn.Module):
+    """`group_attention.py:19-162` (training fold: groups split along the
+    query axis are folded into the batch so groups never attend to each
+    other)."""
+
+    def __init__(self, embed_dims, num_heads, group):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(embed_dims, num_heads)
+        self.group = group
+
+    def forward(self, query, query_pos, training):
+        # mmcv MultiheadAttention wrapper semantics: key=query, value=key,
+        # pos added to query and key but NOT value
+        identity = query
+        q = (query + query_pos).transpose(0, 1)  # [nq, bs, e]
+        k = q
+        v = query.transpose(0, 1)
+        nq = q.shape[0]
+        if training:
+            bs = q.shape[1]
+            q = torch.cat(q.split(nq // self.group, dim=0), dim=1)
+            k = torch.cat(k.split(nq // self.group, dim=0), dim=1)
+            v = torch.cat(v.split(nq // self.group, dim=0), dim=1)
+            out = self.attn(q, k, v)[0]
+            out = torch.cat(out.split(bs, dim=1), dim=0)
+        else:
+            out = self.attn(q, k, v)[0]
+        return identity + out.transpose(0, 1)
+
+
+def quaternion_to_matrix_ref(q):
+    """`boxes3d.py:17-45`."""
+    r, i, j, k = torch.unbind(q, -1)
+    two_s = 2.0 / (q * q).sum(-1)
+    o = torch.stack(
+        (
+            1 - two_s * (j * j + k * k),
+            two_s * (i * j - k * r),
+            two_s * (i * k + j * r),
+            two_s * (i * j + k * r),
+            1 - two_s * (i * i + k * k),
+            two_s * (j * k - i * r),
+            two_s * (i * k - j * r),
+            two_s * (j * k + i * r),
+            1 - two_s * (i * i + j * j),
+        ),
+        -1,
+    )
+    return o.reshape(q.shape[:-1] + (3, 3))
+
+
+def matrix_to_quaternion_ref(m):
+    """Shepperd's method (pytorch3d matrix_to_quaternion equivalent as the
+    reference uses; branch-selected on the trace)."""
+    m00, m11, m22 = m[:, 0, 0], m[:, 1, 1], m[:, 2, 2]
+    tr = m00 + m11 + m22
+    out = torch.zeros(m.shape[0], 4)
+    for n in range(m.shape[0]):
+        t = tr[n]
+        if t > 0:
+            s = torch.sqrt(t + 1.0) * 2
+            q = torch.stack([
+                s / 4,
+                (m[n, 2, 1] - m[n, 1, 2]) / s,
+                (m[n, 0, 2] - m[n, 2, 0]) / s,
+                (m[n, 1, 0] - m[n, 0, 1]) / s,
+            ])
+        elif m00[n] > m11[n] and m00[n] > m22[n]:
+            s = torch.sqrt(1.0 + m00[n] - m11[n] - m22[n]) * 2
+            q = torch.stack([
+                (m[n, 2, 1] - m[n, 1, 2]) / s,
+                s / 4,
+                (m[n, 0, 1] + m[n, 1, 0]) / s,
+                (m[n, 0, 2] + m[n, 2, 0]) / s,
+            ])
+        elif m11[n] > m22[n]:
+            s = torch.sqrt(1.0 + m11[n] - m00[n] - m22[n]) * 2
+            q = torch.stack([
+                (m[n, 0, 2] - m[n, 2, 0]) / s,
+                (m[n, 0, 1] + m[n, 1, 0]) / s,
+                s / 4,
+                (m[n, 1, 2] + m[n, 2, 1]) / s,
+            ])
+        else:
+            s = torch.sqrt(1.0 + m22[n] - m00[n] - m11[n]) * 2
+            q = torch.stack([
+                (m[n, 1, 0] - m[n, 0, 1]) / s,
+                (m[n, 0, 2] + m[n, 2, 0]) / s,
+                (m[n, 1, 2] + m[n, 2, 1]) / s,
+                s / 4,
+            ])
+        out[n] = q / q.norm()
+    return out
+
+
+def unproject_points2d_ref(pts, inv_k):
+    homo = torch.cat([pts, torch.ones_like(pts[:, :1])], -1)
+    return torch.einsum("nij,nj->ni", inv_k, homo)
+
+
+def allocentric_to_egocentric_ref(quat, proj_ctr, inv_k):
+    """`dd3d/utils/geometry.py:107-141`."""
+    r_obj = quaternion_to_matrix_ref(quat)
+    ray = unproject_points2d_ref(proj_ctr, inv_k)
+    z = ray / ray.norm(dim=1, keepdim=True)
+    y = z.new_tensor([[0.0, 1.0, 0.0]]) - z[:, 1:2] * z
+    y = y / y.norm(dim=1, keepdim=True)
+    x = torch.cross(y, z, dim=1)
+    r_l2g = torch.stack([x, y, z], dim=-1)
+    q = matrix_to_quaternion_ref(torch.bmm(r_l2g, r_obj))
+    return q / q.norm(dim=1, keepdim=True)
+
+
+_BOX3D_CORNER_MAPPING = torch.tensor(
+    [[1, 1, 1, 1, -1, -1, -1, -1],
+     [1, -1, -1, 1, 1, -1, -1, 1],
+     [1, 1, -1, -1, 1, 1, -1, -1]], dtype=torch.float32
+)
+
+
+def boxes3d_corners_ref(quat, proj_ctr, depth, size_wlh, inv_k):
+    """`boxes3d.py:76-97, 189-230` (Boxes3D.corners: tvec from the
+    projective parametrization, wlh -> lwh swap)."""
+    tvec = unproject_points2d_ref(proj_ctr, inv_k) * depth[:, None]
+    qn = quat / quat.norm(dim=1, keepdim=True)
+    r = quaternion_to_matrix_ref(qn)
+    lwh = size_wlh[:, [1, 0, 2]]
+    corners_obj = 0.5 * lwh.unsqueeze(1) * _BOX3D_CORNER_MAPPING.T.unsqueeze(0)
+    return torch.einsum("nij,nkj->nki", r, corners_obj) + tvec[:, None, :]
+
+
+def disentangled_box3d_losses_ref(pred, gt, inv_k, beta=0.05):
+    """`disentangled_box3d_loss.py:12-47`: per-component corner smooth-l1,
+    per-location 24-mean. pred/gt: dicts with quat/ctr/depth/size."""
+    target = boxes3d_corners_ref(gt["quat"], gt["ctr"], gt["depth"],
+                                 gt["size"], inv_k)
+    out = {}
+    for key in ("quat", "ctr", "depth", "size"):
+        mixed = {k: (pred[k] if k == key else gt[k])
+                 for k in ("quat", "ctr", "depth", "size")}
+        corners = boxes3d_corners_ref(mixed["quat"], mixed["ctr"],
+                                      mixed["depth"], mixed["size"], inv_k)
+        d = (corners - target).abs()
+        l1 = torch.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+        out[key] = l1.reshape(-1, 24).mean(dim=1)
+    return out

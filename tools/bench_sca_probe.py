@@ -184,11 +184,48 @@ def main():
 
             def wp(v_):
                 wins = prepare_window_values_cm(
-                    v_, SHAPES, heads=h, stride=4, halo=9,
+                    v_, SHAPES, heads=h, stride=4, halo=(3, 9, 9, 9, 3, 9, 9, 9),
                     compute_dtype=jnp.bfloat16,
                 )
-                return sum(w.ravel()[0].astype(jnp.float32) for w in wins)[None]
+                return sum(
+                    c.ravel()[0].astype(jnp.float32)
+                    for per_lvl in wins for c in per_lvl
+                )[None]
             timed("SCA window prep (cm)", wp, value_cm)
+        elif m == "vproj":
+            # value projection to channel-major (per layer, per attention)
+            wv = jnp.array(rng.randn(e, e) * 0.02, jnp.bfloat16)
+            val_in = jnp.array(rng.randn(b, k, e) * 0.1, jnp.bfloat16)
+
+            def vp(v_):
+                return jnp.einsum("bnc,co->bon", v_, wv)[:, :1, :1]
+            timed("value proj -> cm [6,k,256]", vp, val_in)
+        elif m == "vq":
+            # TSA value_queue stack + slot selects (per layer in the scan)
+            q1 = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+            pbev = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+
+            def vq(o_):
+                hasq = jnp.ones((1, 1, 1), jnp.float32)
+                slot0 = hasq * pbev + (1.0 - hasq) * o_
+                slot1 = hasq * q1 + (1.0 - hasq) * o_
+                return jnp.stack([slot0, slot1], axis=1)[:, :1, :1, :1]
+            timed("TSA value_queue stack", vq, q1)
+        elif m == "ffn":
+            from bevformer_tpu.models.layers import FFN
+            ffn = FFN(embed_dims=e, feedforward_channels=512,
+                      dtype=jnp.bfloat16)
+            qt = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.bfloat16)
+            pf = jax.jit(ffn.init)(jax.random.PRNGKey(0), qt)
+
+            def ff(q_):
+                import flax.linen as fnn
+                out = ffn.apply(pf, q_)
+                return fnn.LayerNorm(dtype=jnp.bfloat16).apply(
+                    {"params": {"scale": jnp.ones((e,), jnp.float32),
+                                "bias": jnp.zeros((e,), jnp.float32)}}, out
+                )
+            timed("FFN+LN [1,40k,256]", ff, qt)
         elif m == "layer":
             from bevformer_tpu.models.encoder import BEVFormerLayer
             from bevformer_tpu.models.attention import sca_capacity_precompute

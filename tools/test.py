@@ -60,6 +60,56 @@ def parse_args():
     return p.parse_args()
 
 
+def _build_v2(args, cfg):
+    """BEVFormerV2 eval path: frames-keyed history, per-sample re-encode
+    (`detectors/bevformerV2.py:226-266` — forward_test/simple_test)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tpu.data.dataset_v2 import NuScenesTemporalDatasetV2
+    from bevformer_tpu.models.detector_v2 import BEVFormerV2
+    from bevformer_tpu.runtime import checkpoint as ckpt_lib
+    from bevformer_tpu.runtime.eval import VideoEvaluatorV2
+
+    ds = NuScenesTemporalDatasetV2(
+        os.path.join(args.data_root, "nuscenes_infos_temporal_val.pkl"),
+        cfg,
+        test_mode=True,
+        data_root=args.data_root,
+    )
+    print(f"val dataset: {len(ds)} samples (v2, frames={cfg.frames})")
+
+    model = BEVFormerV2(cfg=cfg)
+    if args.checkpoint and args.checkpoint.endswith(".pth"):
+        variables = ckpt_lib.convert_pth_checkpoint_v2(args.checkpoint, cfg)
+        print(f"loaded reference weights {args.checkpoint}")
+    elif args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        with ocp.CheckpointManager(os.path.abspath(args.checkpoint)) as mgr:
+            step = mgr.latest_step()
+            restored = mgr.restore(step)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        print(f"loaded orbax checkpoint step {step}")
+    else:
+        print("WARNING: random weights (no --checkpoint)")
+        s = ds.get_test_sample_v2(0)
+        cur = list(cfg.frames).index(0)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.asarray(s["images"][cur], jnp.float32)[None],
+            jnp.asarray(s["lidar2img"][cur], jnp.float32)[None],
+        )
+    if args.fuse_conv_bn:
+        from bevformer_tpu.runtime.fuse import fuse_conv_bn
+
+        variables = dict(variables, params=fuse_conv_bn(variables["params"]))
+        print("fused conv+BN (eval-time fold)")
+    return ds, VideoEvaluatorV2(model, variables)
+
+
 def main():
     args = parse_args()
     # multi-host bring-up MUST precede any backend use
@@ -94,59 +144,65 @@ def main():
         cfg = dataclasses.replace(cfg, fused_msda="off", fused_dcn="off")
         print("parity mode: fused kernels off (exact XLA sampling paths)")
 
-    ds = NuScenesTemporalDataset(
-        os.path.join(args.data_root, "nuscenes_infos_temporal_val.pkl"),
-        cfg,
-        test_mode=True,
-        data_root=args.data_root,
-    )
-    print(f"val dataset: {len(ds)} samples")
-
-    model = BEVFormer(cfg=cfg)
-    if args.checkpoint and args.checkpoint.endswith(".pth"):
-        params = ckpt_lib.convert_pth_checkpoint(args.checkpoint, cfg)
-        print(f"loaded reference weights {args.checkpoint}")
-    elif args.checkpoint:
-        import orbax.checkpoint as ocp
-
-        with ocp.CheckpointManager(os.path.abspath(args.checkpoint)) as mgr:
-            step = mgr.latest_step()
-            restored = mgr.restore(step)
-        params = restored["params"]
-        print(f"loaded orbax checkpoint step {step}")
+    if cfg.version == "v2":
+        ds, evaluator = _build_v2(args, cfg)
     else:
-        print("WARNING: random weights (no --checkpoint)")
-        s = ds.get_test_sample(0)
-        import jax.numpy as jnp
-
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0),
-            jnp.asarray(s["images"])[None],
-            jnp.zeros((1, 18), jnp.float32),
-            jnp.asarray(s["lidar2img"])[None],
-            jnp.zeros((1, cfg.bev_h * cfg.bev_w, cfg.embed_dims), jnp.float32),
-            jnp.zeros((1,), bool),
+        ds = NuScenesTemporalDataset(
+            os.path.join(args.data_root, "nuscenes_infos_temporal_val.pkl"),
+            cfg,
+            test_mode=True,
+            data_root=args.data_root,
         )
+        print(f"val dataset: {len(ds)} samples")
 
-    if args.fuse_conv_bn:
-        from bevformer_tpu.runtime.fuse import fuse_conv_bn
+        model = BEVFormer(cfg=cfg)
+        if args.checkpoint and args.checkpoint.endswith(".pth"):
+            params = ckpt_lib.convert_pth_checkpoint(args.checkpoint, cfg)
+            print(f"loaded reference weights {args.checkpoint}")
+        elif args.checkpoint:
+            import orbax.checkpoint as ocp
 
-        params = fuse_conv_bn(params)
-        print("fused conv+BN (eval-time fold)")
+            with ocp.CheckpointManager(os.path.abspath(args.checkpoint)) as mgr:
+                step = mgr.latest_step()
+                restored = mgr.restore(step)
+            params = restored["params"]
+            print(f"loaded orbax checkpoint step {step}")
+        else:
+            print("WARNING: random weights (no --checkpoint)")
+            s = ds.get_test_sample(0)
+            import jax.numpy as jnp
 
-    from bevformer_tpu.kernels.msda_pallas import resolve_impl
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(0),
+                jnp.asarray(s["images"])[None],
+                jnp.zeros((1, 18), jnp.float32),
+                jnp.asarray(s["lidar2img"])[None],
+                jnp.zeros(
+                    (1, cfg.bev_h * cfg.bev_w, cfg.embed_dims), jnp.float32
+                ),
+                jnp.zeros((1,), bool),
+            )
 
-    fused_on = resolve_impl(cfg.fused_msda) != "off"
-    evaluator = VideoEvaluator(
-        model, params,
-        audit_interval=args.audit_interval if fused_on else 0,
-        fused_guard=fused_on and not args.no_fused_guard,
-    )
+        if args.fuse_conv_bn:
+            from bevformer_tpu.runtime.fuse import fuse_conv_bn
+
+            params = fuse_conv_bn(params)
+            print("fused conv+BN (eval-time fold)")
+
+        from bevformer_tpu.kernels.msda_pallas import resolve_impl
+
+        fused_on = resolve_impl(cfg.fused_msda) != "off"
+        evaluator = VideoEvaluator(
+            model, params,
+            audit_interval=args.audit_interval if fused_on else 0,
+            fused_guard=fused_on and not args.no_fused_guard,
+        )
     n = len(ds) if args.max_samples is None else min(len(ds), args.max_samples)
     # Multi-process: contiguous per-rank video segments (the reference's
     # eval DistributedSampler, `samplers/distributed_sampler.py:22-41`) so
     # temporal state never crosses a rank boundary; results are re-merged
-    # in rank order == global order.
+    # in rank order == global order. (V2 eval has no cross-sample state so
+    # any split works; contiguous keeps it uniform.)
     rank, nproc = jax.process_index(), jax.process_count()
     per = -(-n // nproc)
     lo, hi = rank * per, min((rank + 1) * per, n)
@@ -176,7 +232,7 @@ def main():
         ]
         if rank != 0:
             return
-    if evaluator.audit_log:
+    if getattr(evaluator, "audit_log", None):
         import json as _json
 
         worst = max(r["drop_frac"] for r in evaluator.audit_log)

@@ -357,10 +357,17 @@ def _train_v2(args, cfg, work_dir):
         state = TrainStateV2(
             state.step, state.params, state.batch_stats, tx.init(state.params)
         )
+        from bevformer_tpu.runtime import checkpoint as ckpt_lib
+
+        start_step = 0
+        if args.resume_from:
+            state = ckpt_lib.restore_checkpoint_v2(args.resume_from, state)
+            start_step = int(state.step)
+            print(f"resumed from {args.resume_from} @ step {start_step}")
         step_fn = make_train_step_v2(model, tx)
         log_path = os.path.join(work_dir, "train_log.jsonl")
         t_start = time.time()
-        for step in range(total_steps):
+        for step in range(start_step, total_steps):
             batch = mesh_lib.shard_batch(mesh, collect(step))
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
             if step % args.log_interval == 0 or step == total_steps - 1:
@@ -369,7 +376,57 @@ def _train_v2(args, cfg, work_dir):
                 print(json.dumps(m))
                 with open(log_path, "a") as f:
                     f.write(json.dumps(m) + "\n")
+            if (step + 1) % (steps_per_epoch * args.ckpt_interval_epochs) == 0 or (
+                step + 1
+            ) == total_steps:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(work_dir, "ckpts"), state, step + 1
+                )
+                print(f"saved checkpoint @ step {step + 1}")
+            if args.eval_interval_epochs and (step + 1) % (
+                steps_per_epoch * args.eval_interval_epochs
+            ) == 0:
+                _run_eval_v2(cfg, model, state, args.data_root, work_dir,
+                             step + 1)
     print("done")
+
+
+def _run_eval_v2(cfg, model, state, data_root, work_dir, step):
+    """In-training V2 eval (CustomDistEvalHook equivalent for the
+    frames-keyed history path, `bevformerV2.py:226-266`)."""
+    import json as _json
+    import os as _os
+
+    from bevformer_tpu.core.boxes import CLASS_NAMES
+    from bevformer_tpu.core.evaluation import evaluate_detections
+    from bevformer_tpu.data.dataset_v2 import NuScenesTemporalDatasetV2
+    from bevformer_tpu.runtime.eval import VideoEvaluatorV2
+
+    val_pkl = _os.path.join(data_root, "nuscenes_infos_temporal_val.pkl")
+    if not _os.path.exists(val_pkl):
+        print("eval skipped: no val pkl")
+        return
+    ds = NuScenesTemporalDatasetV2(val_pkl, cfg, test_mode=True,
+                                   data_root=data_root)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    evaluator = VideoEvaluatorV2(model, variables)
+    results = evaluator.run(ds)
+    gt = {}
+    for i in range(len(ds)):
+        ann = ds._annotations(ds.infos[i])
+        boxes = ann["gt_boxes"].copy()
+        if len(boxes):
+            boxes[:, 2] -= 0.5 * boxes[:, 5]
+        gt[ds.infos[i]["token"]] = dict(
+            boxes=boxes, labels=ann["gt_labels"], attrs=ann.get("gt_attrs")
+        )
+    m = evaluate_detections(results, gt, class_names=CLASS_NAMES, verbose=True)
+    entry = dict(step=step, NDS=m["nd_score"], mAP=m["mean_ap"])
+    print(_json.dumps(entry))
+    with open(_os.path.join(work_dir, "eval_log.jsonl"), "a") as f:
+        f.write(_json.dumps(entry) + "\n")
 
 
 def _run_eval(cfg, model, state, data_root, work_dir, step):
