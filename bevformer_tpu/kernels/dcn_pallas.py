@@ -63,6 +63,18 @@ def _wrows_for(ct: int, ow: int, conv_stride: int, clip_y: float,
     return row_span + 2 + 2 * math.ceil(clip_y) + 2 + (stride - 1) + 1
 
 
+def _wrows_tap(ct: int, ow: int, conv_stride: int, clip_y: float,
+               stride: int) -> int:
+    """Per-TAP-ROW-CLASS window rows: the 3x3 taps' +-1 vertical span is
+    NOT charged to the window — taps sharing a ky row (class ky in
+    {0,1,2}) get their own window index (the DCN analogue of msda_hi's
+    per-head halo classes). Cuts the matmul M dim by 2 of ~18 rows at
+    stage-3 shapes; the window arrays are shared (one prepare), only the
+    per-class jrow differs."""
+    row_span = conv_stride * (math.ceil(ct / ow) + 1)
+    return row_span + 2 * math.ceil(clip_y) + 2 + (stride - 1) + 1
+
+
 def prepare_dcn_windows(x, *, stride: int, wrows: int, cc: int,
                         compute_dtype=jnp.bfloat16):
     """[B, H, W, C] -> [B, nw, C//cc, wrows*cc, wwp] overlapping row-window
@@ -314,23 +326,29 @@ def prepare_dcn_windows_flat(x, *, stride: int, wrows: int, cc: int,
     return wins.transpose(0, 3, 1, 2, 4)  # [b, nw, ncc, cc, wrows*wwp]
 
 
-def _kernel_conv_rc(wrows, ncc, cc, stride, compute_dtype,
-                    jrow_ref, pay_ref, val_ref, w_ref, out_ref, smp_ref):
+def _kernel_conv_rc(wrows, ncc, cc, stride, compute_dtype, n_cls,
+                    jrow_ref, pay_ref, *refs):
     """Conv-folded kernel, ROW-COMBINE variant: per tap, column-one-hot
     matmul [wrows*cc, wwp] x [wwp, ct] then a VPU row combine (the
     original `_kernel` structure); sampled rows land in `smp_ref` and one
     resident-weight matmul emits [Cout, ct]. Kept selectable
     (DCN_ALGO=rc) against the wbig variant below: on v5e the row combine
     hides behind the MXU (measured 146 vs 158 ms full-backbone), so this
-    is the shipped default."""
+    is the shipped default.
+
+    n_cls=3: per-TAP-ROW-CLASS windows (refs hold one window-block view
+    per ky class, all slicing the SAME prepared array at that class's
+    jrow[cls, i, t]) — the taps' +-1 vertical span is not charged to the
+    window, so the matmul M dim shrinks by 2 rows. n_cls=1: one shared
+    window (jrow [1, b, nt])."""
     i = pl.program_id(0)
     t = pl.program_id(1)
-    j = jrow_ref[i, t]
-    wwp = val_ref.shape[-1]
+    val_refs = refs[:n_cls]
+    w_ref, out_ref, smp_ref = refs[n_cls], refs[n_cls + 1], refs[n_cls + 2]
+    wwp = val_refs[0].shape[-1]
     ct = pay_ref.shape[-1]
     c = ncc * cc
 
-    base = (j * stride).astype(jnp.float32)
     cio = jax.lax.broadcasted_iota(jnp.int32, (wwp, ct), 0)
     precision = (
         jax.lax.Precision.HIGHEST
@@ -338,6 +356,9 @@ def _kernel_conv_rc(wrows, ncc, cc, stride, compute_dtype,
         else jax.lax.Precision.DEFAULT
     )
     for tap in range(K * K):
+        cls = tap // K if n_cls == K else 0
+        val_ref = val_refs[cls]
+        base = (jrow_ref[cls, i, t] * stride).astype(jnp.float32)
         pay = pay_ref[0, tap * 8 : tap * 8 + 8]
         x0 = pay[0:1]
         wx0 = pay[1:2]
@@ -396,7 +417,7 @@ def _kernel_conv(wrows, ncc, cc, stride, compute_dtype,
     cc=128 fills the MXU M dimension."""
     i = pl.program_id(0)
     t = pl.program_id(1)
-    j = jrow_ref[i, t]
+    j = jrow_ref[0, i, t]
     nflat = val_ref.shape[-1]
     wwp = nflat // wrows
     ct = pay_ref.shape[-1]
@@ -472,7 +493,14 @@ def _forward_conv(
     ct = min(cap_tile, 128) if (conv_stride > 1 or c >= 512) else cap_tile
     n_pad = _round_up(n, ct)
     nt = n_pad // ct
-    wrows = _wrows_for(ct, ow, conv_stride, clip_y, stride)
+    # per-tap-row-class windows (rc only): taps sharing a ky row get their
+    # own window index, so the +-1 tap span drops out of wrows
+    n_cls = K if (algo == "rc" and os.environ.get("DCN_TAPCLS", "1") == "1") \
+        else 1
+    if n_cls == K:
+        wrows = _wrows_tap(ct, ow, conv_stride, clip_y, stride)
+    else:
+        wrows = _wrows_for(ct, ow, conv_stride, clip_y, stride)
     nw = max(-(-h // stride), 1)
     ncc = c // cc
 
@@ -524,12 +552,20 @@ def _forward_conv(
     payload = jnp.pad(payload, ((0, 0), (0, 0), (0, 2), (0, 0)))
     payload = payload.reshape(b, K * K * 8, n_pad)
 
-    ylo = y0i.min(axis=1).reshape(b, nt, ct)
-    yhi = y0i.max(axis=1).reshape(b, nt, ct)
-    jrow = _tile_windows(
-        jnp.concatenate([ylo, yhi], axis=-1).reshape(b, nt * 2 * ct),
-        nt, 2 * ct, stride, wrows, nw,
-    )
+    def _jrow_from(ys):  # ys [b, taps, n_pad] -> [b, nt]
+        ylo = ys.min(axis=1).reshape(b, nt, ct)
+        yhi = ys.max(axis=1).reshape(b, nt, ct)
+        return _tile_windows(
+            jnp.concatenate([ylo, yhi], axis=-1).reshape(b, nt * 2 * ct),
+            nt, 2 * ct, stride, wrows, nw,
+        )
+
+    if n_cls == K:
+        jrow = jnp.stack(
+            [_jrow_from(y0i[:, cls * K : (cls + 1) * K]) for cls in range(K)]
+        )  # [K, b, nt]
+    else:
+        jrow = _jrow_from(y0i)[None]  # [1, b, nt]
 
     wk = weight.astype(compute_dtype).T  # [cout, 9*c], VMEM-resident
     if algo == "wbig":
@@ -538,11 +574,15 @@ def _forward_conv(
             compute_dtype=compute_dtype,
         )
         wwp = wins.shape[-1] // wrows
-        val_spec = pl.BlockSpec(
-            (1, 1, ncc, cc, wrows * wwp),
-            lambda i, t, jr: (i, jr[i, t], 0, 0, 0),
+        val_specs = [
+            pl.BlockSpec(
+                (1, 1, ncc, cc, wrows * wwp),
+                lambda i, t, jr: (i, jr[0, i, t], 0, 0, 0),
+            )
+        ]
+        kern = functools.partial(
+            _kernel_conv, wrows, ncc, cc, stride, compute_dtype
         )
-        kern = _kernel_conv
         scratch = [
             pltpu.VMEM((K * K * c, ct), compute_dtype),
             pltpu.VMEM((wrows * wwp, ct), compute_dtype),
@@ -554,11 +594,16 @@ def _forward_conv(
             compute_dtype=compute_dtype,
         )
         wwp = wins.shape[-1]
-        val_spec = pl.BlockSpec(
-            (1, 1, ncc, wrows * cc, wwp),
-            lambda i, t, jr: (i, jr[i, t], 0, 0, 0),
+        val_specs = [
+            pl.BlockSpec(
+                (1, 1, ncc, wrows * cc, wwp),
+                lambda i, t, jr, c_=cls: (i, jr[c_, i, t], 0, 0, 0),
+            )
+            for cls in range(n_cls)
+        ]
+        kern = functools.partial(
+            _kernel_conv_rc, wrows, ncc, cc, stride, compute_dtype, n_cls
         )
-        kern = _kernel_conv_rc
         scratch = [pltpu.VMEM((K * K * c, ct), compute_dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -566,18 +611,20 @@ def _forward_conv(
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, K * K * 8, ct), lambda i, t, jr: (i, 0, t)),
-            val_spec,
+        ]
+        + val_specs
+        + [
             pl.BlockSpec((cout, K * K * c), lambda i, t, jr: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, cout, ct), lambda i, t, jr: (i, 0, t)),
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(kern, wrows, ncc, cc, stride, compute_dtype),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, cout, n_pad), compute_dtype),
         interpret=interpret,
-    )(jrow, payload, wins, wk)
+    )(jrow, payload, *([wins] * len(val_specs)), wk)
     return out[:, :, :n]
 
 

@@ -574,6 +574,7 @@ def sca_capacity_precompute(
     capacity_ratio: float,
     *,
     with_sort: bool = True,
+    presort_queries: Optional[bool] = None,
 ):
     """Frame-constant SCA routing state: per-camera top-`cap` visible query
     selection plus the (query, z-anchor) row-sort permutation used by the
@@ -593,6 +594,24 @@ def sca_capacity_precompute(
         reference_points_cam, top_idx[..., None, None], axis=2
     )  # [bs, cams, cap, nz, 2]
     vis_sel = jnp.take_along_axis(anyz, top_idx, axis=2)
+    if presort_queries is None:
+        import os
+
+        presort_queries = os.environ.get("BEVFORMER_SCA_PRESORT", "1") == "1"
+    if presort_queries:
+        # reorder the routed queries by MEAN anchor image row (frame
+        # constant): the per-layer item sort then only moves rows locally
+        # (anchors of y-adjacent queries interleave), which the gather
+        # engine rewards — ascending-ish indices measured up to 4x the
+        # bandwidth of a random permutation (tools/bench_sca_probe.py
+        # permgeo / BENCH_NOTES round 5)
+        key_q = ref_sel[..., 1].mean(axis=-1)  # [bs, cams, cap]
+        qorder = jnp.argsort(key_q, axis=-1)
+        top_idx = jnp.take_along_axis(top_idx, qorder, axis=2)
+        ref_sel = jnp.take_along_axis(
+            ref_sel, qorder[..., None, None], axis=2
+        )
+        vis_sel = jnp.take_along_axis(vis_sel, qorder, axis=2)
     out = dict(top_idx=top_idx, ref_sel=ref_sel, vis_sel=vis_sel, anyz=anyz)
     out["inv"], out["found"] = routing_inverse(out["top_idx"], q)
     if with_sort:

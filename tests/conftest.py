@@ -22,6 +22,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the 1-core box compiles the larger test graphs
-# (train step, dd3d) in minutes cold — warm re-runs take seconds.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# (train step, dd3d) in minutes cold — warm re-runs take seconds. The dir
+# is HOST-FINGERPRINTED: XLA:CPU AOT entries bake the compiling host's CPU
+# features, and loading a foreign-host entry can SIGILL (it segfaulted the
+# round-5 full-suite run on entries written by the round-4 machine).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bevformer_tpu.utils import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -136,6 +136,24 @@ def main():
                 lambda a_: route_scatter(a_, top_idx, r_inv, r_found),
                 attn_c,
             )
+        elif m == "permgeo":
+            # REAL-geometry permutations (tools note: saved by the CPU
+            # analysis snippet): raster-order item sort vs the residual
+            # sort after presorting queries by mean anchor y. Measures
+            # whether gather-index locality buys bandwidth.
+            pr = jnp.asarray(np.load("/tmp/perm_raster.npy"))
+            pd = jnp.asarray(np.load("/tmp/perm_resid.npy"))
+            asc = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+            for label, p_ in (
+                ("perm RASTER-geo", pr),
+                ("perm RESID-geo", pd),
+                ("perm ascending", asc),
+            ):
+                iv = jnp.argsort(p_, axis=1)
+                timed(
+                    f"{label} [6,40k,196]bf16",
+                    lambda c_, p2=p_, i2=iv: permute_rows(c_, p2, i2), cat,
+                )
         elif m == "permv":
             # same permute via vmap(arr[p]) — route_gather's lowering hit
             # ~124 GB/s where take_along_axis ran at 31-42
