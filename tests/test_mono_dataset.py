@@ -204,3 +204,72 @@ def test_format_mono_results_merges_frame():
     np.testing.assert_allclose(a["translation"], g["center"][0], atol=1e-6)
     np.testing.assert_allclose(a["size"], [4.5, 1.9, 1.6], atol=1e-6)
     assert a["detection_score"] == pytest.approx(0.9)
+
+
+def test_cross_camera_nms_plane_equivalence_bound():
+    """Round-4 verdict: our cross-camera NMS runs in the global (x, y) BEV
+    plane where the reference uses the first camera's (x, z) plane
+    (`nuscenes_mono_dataset.py:313-318`). Rotated IoU is invariant under
+    rigid plane transforms, so the two differ only via camera pitch/roll.
+    Pin it numerically on a realistic rig (pitch 1.0deg, roll 0.6deg —
+    generous vs nuScenes' sub-degree mounts): IoU deltas bounded and the
+    NMS keep SET identical."""
+    import numpy as np
+    from bevformer_tpu.data.mono_dataset import (
+        nms_rotated_bev,
+        rotated_iou_bev,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 40
+    # clustered overlapping boxes in the global frame
+    centers = np.repeat(rng.randn(8, 2) * 3.0, 5, axis=0) + rng.randn(n, 2) * 0.6
+    z = rng.rand(n) * 0.5
+    dims = rng.rand(n, 2) * 2.0 + 1.0  # (dx, dy)
+    yaw = rng.rand(n) * 2 * np.pi
+    scores = rng.rand(n).astype(np.float64)
+    labels = np.zeros(n, np.int64)
+
+    bev_g = np.stack(
+        [centers[:, 0], centers[:, 1], dims[:, 0], dims[:, 1], yaw], -1
+    )
+
+    # camera with yaw 30deg, pitch 1.0deg, roll 0.6deg; cam frame: x right,
+    # y down, z forward -> BEV plane (x_cam, z_cam)
+    def rot(axis, a):
+        c, s = np.cos(a), np.sin(a)
+        if axis == "z":
+            return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        if axis == "y":
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    # global->cam: base axes swap (x_c=-y_g, y_c=-z_g, z_c=x_g) + yaw +
+    # small pitch/roll imperfections
+    base = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0.0]])
+    r_g2c = rot("x", np.deg2rad(1.0)) @ rot("y", np.deg2rad(0.6)) @ base @ rot(
+        "z", np.deg2rad(30.0)
+    )
+    t = np.array([1.0, -2.0, 1.6])
+
+    c3 = np.concatenate([centers, z[:, None]], -1)
+    c_cam = (c3 - t) @ r_g2c.T
+    # heading direction in the cam (x, z) plane
+    h_g = np.stack([np.cos(yaw), np.sin(yaw), np.zeros(n)], -1)
+    h_c = h_g @ r_g2c.T
+    yaw_c = np.arctan2(h_c[:, 2], h_c[:, 0])
+    bev_c = np.stack(
+        [c_cam[:, 0], c_cam[:, 2], dims[:, 0], dims[:, 1], yaw_c], -1
+    )
+
+    # pairwise IoU bound
+    dmax = 0.0
+    for i in range(n):
+        ious_g = rotated_iou_bev(bev_g[i], bev_g)
+        ious_c = rotated_iou_bev(bev_c[i], bev_c)
+        dmax = max(dmax, float(np.abs(ious_g - ious_c).max()))
+    assert dmax < 0.02, dmax
+
+    kg = set(nms_rotated_bev(bev_g, scores, labels).tolist())
+    kc = set(nms_rotated_bev(bev_c, scores, labels).tolist())
+    assert kg == kc, (sorted(kg), sorted(kc))

@@ -46,8 +46,8 @@ def main():
 
     cfg = get_config(CONFIG).replace(dtype="bfloat16")
     nl = os.environ.get("BENCH_LAYERS")
-    if nl:
-        cfg = cfg.replace(encoder_layers=int(nl))
+    if nl is not None and nl != "":
+        cfg = cfg.replace(encoder_layers=int(nl))  # 0 = glue-only intercept
     model = BEVFormer(cfg=cfg)
     images, can_bus, lidar2img, prev_bev, has_prev = _example_inputs(cfg)
     params = jax.jit(model.init)(
