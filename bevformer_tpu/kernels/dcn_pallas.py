@@ -494,9 +494,16 @@ def _forward_conv(
     n_pad = _round_up(n, ct)
     nt = n_pad // ct
     # per-tap-row-class windows (rc only): taps sharing a ky row get their
-    # own window index, so the +-1 tap span drops out of wrows
-    n_cls = K if (algo == "rc" and os.environ.get("DCN_TAPCLS", "1") == "1") \
-        else 1
+    # own window index, so the +-1 tap span drops out of wrows. K window
+    # blocks (double-buffered) don't fit the 16 MB scoped-VMEM budget at
+    # wide-channel / strided shapes (stage-4 C=512 measured 16.45M OOM at
+    # compile even at ct=128) — those blocks fall back to one shared window.
+    n_cls = K if (
+        algo == "rc"
+        and os.environ.get("DCN_TAPCLS", "1") == "1"
+        and conv_stride == 1
+        and c < 512
+    ) else 1
     if n_cls == K:
         wrows = _wrows_tap(ct, ow, conv_stride, clip_y, stride)
     else:
