@@ -422,6 +422,104 @@ def _prep_hi(sampling_locations, attention_weights, spatial_shapes,
     return pay, jrow, q_pad, nt, ntq
 
 
+def _jrow_lohi(lo, hi, spatial_shapes, h, ntq, stride, wrows_h):
+    """`_jrow_levels` from PRE-REDUCED per-(tile, level, head) row bounds.
+
+    lo/hi [b, ntq, L*H] i32 (dead items pre-masked to +/-big before the
+    reduction) -> jrow [L*H, b, ntq]. Lets the fused payload prep reduce
+    y0 extremes inline instead of materializing the [b, nch, q] y0i
+    array."""
+    b = lo.shape[0]
+    wr = jnp.repeat(jnp.asarray(wrows_h, jnp.int32), b)[:, None]  # [h*b, 1]
+    jrows = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        nw = _n_windows(hh, stride)
+        lol = lo[:, :, lvl * h: (lvl + 1) * h]
+        hil = hi[:, :, lvl * h: (lvl + 1) * h]
+        lol = lol.transpose(2, 0, 1).reshape(h * b, ntq)
+        hil = hil.transpose(2, 0, 1).reshape(h * b, ntq)
+        j = _tile_windows(lol, ntq, 1, stride, wr, nw, y0i_hi=hil)
+        jrows.append(j.reshape(h, b, ntq))
+    return jnp.concatenate(jrows, axis=0)  # [L*H, b, ntq]
+
+
+def _prep_hi_lw(lw, ref_sorted, spatial_shapes, h, p, ct, stride, wrows_h,
+                compute_dtype):
+    """Fused payload prep from the SORTED packed projection tensor.
+
+    lw [b, n, 3*nch]: per item, channels (p, l, h, 2) normalized offsets
+    followed by (p, l, h) attention weights (bf16 in bf16 mode — the
+    caller's sort gather moves HALF the bytes of the decoded f32 form).
+    ref_sorted [b, n, 2] f32: frame-constant sorted reference points
+    (hoisted out of the layer loop by `sca_capacity_precompute`).
+
+    Replaces the decode -> [b, n, 2nch] f32 loc materialization ->
+    swapaxes -> `_bilinear_channels` -> 6D relayout chain of `_prep_hi`
+    (~1.4 GB/layer of HBM traffic at base SCA shapes) with ONE bf16
+    relayout of lw and elementwise math emitting `pay` directly in the
+    kernel's tile layout; the jrow row bounds are reduced inline."""
+    b, qn, C = lw.shape
+    l = len(spatial_shapes)
+    nch = l * h * p
+    assert C == 3 * nch, (C, nch)
+    ntq = -(-qn // ct)
+    q_pad = ntq * ct
+    nt = p * ntq
+    if q_pad != qn:
+        lw = jnp.pad(lw, ((0, 0), (0, q_pad - qn), (0, 0)), mode="edge")
+        ref_sorted = jnp.pad(
+            ref_sorted, ((0, 0), (0, q_pad - qn), (0, 0)), mode="edge"
+        )
+    # ONE relayout of everything: [b, n, C] -> [b, ntq, C, ct]
+    lwT = jnp.swapaxes(lw.reshape(b, ntq, ct, C), 2, 3)
+    refT = jnp.swapaxes(
+        ref_sorted.astype(jnp.float32).reshape(b, ntq, ct, 2), 2, 3
+    )  # [b, ntq, 2, ct]
+    off = lwT[:, :, : 2 * nch].astype(jnp.float32)
+    off = off.reshape(b, ntq, p, l * h, 2, ct)
+    aw = lwT[:, :, 2 * nch:].astype(jnp.float32)
+    aw = aw.reshape(b, ntq, p, l * h, ct)
+    ww_vec = jnp.repeat(
+        jnp.array([ww for _, ww in spatial_shapes], jnp.float32), h
+    )[None, None, None, :, None]
+    hh_vec = jnp.repeat(
+        jnp.array([hh for hh, _ in spatial_shapes], jnp.float32), h
+    )[None, None, None, :, None]
+    x = (off[:, :, :, :, 0, :] + refT[:, :, None, None, 0, :]) * ww_vec - 0.5
+    y = (off[:, :, :, :, 1, :] + refT[:, :, None, None, 1, :]) * hh_vec - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wwi = ww_vec.astype(jnp.int32)
+    hhi = hh_vec.astype(jnp.int32)
+    vx0 = ((x0i >= 0) & (x0i < wwi)).astype(jnp.float32)
+    vx1 = ((x0i >= -1) & (x0i < wwi - 1)).astype(jnp.float32)
+    vy0 = ((y0i >= 0) & (y0i < hhi)).astype(jnp.float32)
+    vy1 = ((y0i >= -1) & (y0i < hhi - 1)).astype(jnp.float32)
+    x0c = jnp.minimum(jnp.maximum(x0i, -1), wwi - 1).astype(jnp.float32)
+    chan6 = jnp.stack(
+        [
+            x0c,
+            aw * (1.0 - tx) * vx0,
+            aw * tx * vx1,
+            y0,
+            (1.0 - ty) * vy0,
+            ty * vy1,
+        ],
+        axis=4,
+    )  # [b, ntq, p, l*h, 6, ct]
+    pay = chan6.astype(compute_dtype).reshape(b, nt, l * h * NCH, ct)
+    # dead rows (both bilinear corners off-image) must not drag windows
+    bigv = 4 * hhi + 8
+    lo = jnp.where((y0i < -1) | (y0i >= hhi), bigv, y0i).min(axis=(2, 4))
+    hi = jnp.where((y0i < -1) | (y0i >= hhi), -bigv, y0i).max(axis=(2, 4))
+    jrow = _jrow_lohi(lo, hi, spatial_shapes, h, ntq, stride, wrows_h)
+    return pay, jrow, q_pad, nt, ntq
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1060,6 +1158,185 @@ def _hi_bwd_cm(spatial_shapes, heads, points, stride, halo, cap_tile,
 
 
 _hi_vjp_cm.defvjp(_hi_fwd_cm, _hi_bwd_cm)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spatial_shapes", "heads", "points", "stride", "halo", "cap_tile",
+        "compute_dtype", "interpret",
+    ),
+)
+def _forward_hi_lw(
+    value_cm,  # [b, h*d, k] CHANNEL-MAJOR
+    lw,  # [b, n, 3*nch] packed sorted (p,l,h,2) offsets | (p,l,h) weights
+    ref_sorted,  # [b, n, 2] f32 frame-constant sorted reference points
+    spatial_shapes,
+    *,
+    heads,
+    points,
+    stride=4,
+    halo=13,
+    cap_tile=512,
+    compute_dtype=jnp.float32,
+    interpret=False,
+):
+    b, hd, k = value_cm.shape
+    h, p = heads, points
+    d = hd // h
+    qn = lw.shape[1]
+    l = len(spatial_shapes)
+    halos = _halos_tuple(halo, h)
+    cls_of = _head_classes(halos)[1]
+    pos_in = _head_classes(halos)[2]
+    wrows_h = tuple(stride + hv + 1 for hv in halos)
+    ct = cap_tile
+
+    window_values = prepare_window_values_cm(
+        value_cm, spatial_shapes, heads=h, stride=stride, halo=halos,
+        compute_dtype=compute_dtype,
+    )
+    pay, jrow, q_pad, nt, ntq = _prep_hi_lw(
+        lw, ref_sorted, spatial_shapes, h, p, ct, stride, wrows_h,
+        compute_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, l * h * NCH, ct), lambda i, t, jr: (i, t, 0, 0)
+            )
+        ]
+        + [
+            (lambda li_, wwp_, rm_, pos_: pl.BlockSpec(
+                (1, 1, 1, rm_, wwp_),
+                lambda i, t, jr, li=li_, po=pos_: (
+                    i, jr[li, i, t // p], po, 0, 0),
+            ))(lvl_ * h + hd_, _round_up(ww, LANE), wrows_h[hd_] * d,
+               pos_in[hd_])
+            for lvl_, (hh, ww) in enumerate(spatial_shapes)
+            for hd_ in range(h)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h * d, ct), lambda i, t, jr: (i, t, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_hi, d, h, stride, l, ct, p, compute_dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nt, h * d, ct), compute_dtype),
+        interpret=interpret,
+    )(jrow, pay, *[
+        window_values[lvl][cls_of[hd_]]
+        for lvl in range(l) for hd_ in range(h)
+    ])
+
+    out = out.reshape(b, ntq, p, h * d, ct).sum(axis=2)
+    out = out.transpose(0, 1, 3, 2).reshape(b, q_pad, h * d)
+    return out[:, :qn].astype(value_cm.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+)
+def _hi_vjp_lw(value_cm, lw, ref_sorted, spatial_shapes, heads, points,
+               stride, halo, cap_tile, compute_dtype, interpret):
+    return _forward_hi_lw(
+        value_cm, lw, ref_sorted, spatial_shapes,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype, interpret=interpret,
+    )
+
+
+def _hi_fwd_lw(value_cm, lw, ref_sorted, spatial_shapes, heads, points,
+               stride, halo, cap_tile, compute_dtype, interpret):
+    out = _forward_hi_lw(
+        value_cm, lw, ref_sorted, spatial_shapes,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return out, (value_cm, lw, ref_sorted)
+
+
+def _decode_lw(lw, ref_sorted, l, h, p):
+    """lw (p, l, h) packed channels -> flat (l, h, p) loc/attw (the layout
+    `_backward_hi` consumes)."""
+    b, n, _ = lw.shape
+    nch = l * h * p
+    off = lw[..., : 2 * nch].astype(jnp.float32).reshape(b, n, p, l, h, 2)
+    loc = off + ref_sorted.astype(jnp.float32)[:, :, None, None, None, :]
+    loc = loc.transpose(0, 1, 3, 4, 2, 5).reshape(b, n, 2 * nch)
+    aw = lw[..., 2 * nch:].astype(jnp.float32).reshape(b, n, p, l, h)
+    aw = aw.transpose(0, 1, 3, 4, 2).reshape(b, n, nch)
+    return loc, aw
+
+
+def _hi_bwd_lw(spatial_shapes, heads, points, stride, halo, cap_tile,
+               compute_dtype, interpret, res, g):
+    value_cm, lw, ref_sorted = res
+    l = len(spatial_shapes)
+    h, p = heads, points
+    nch = l * h * p
+    b, n, _ = lw.shape
+    loc, aw = _decode_lw(lw, ref_sorted, l, h, p)
+    dval, dloc, dattw = _backward_hi(
+        value_cm, spatial_shapes, loc, aw, g,
+        heads=heads, points=points, stride=stride, halo=halo,
+        cap_tile=cap_tile, compute_dtype=compute_dtype,
+        interpret=interpret, cm=True,
+    )
+    # (l, h, p) flat cotangents -> the packed (p, l, h) lw columns;
+    # d(ref) is dropped (frame geometry, no parameters behind it)
+    doff = dloc.reshape(b, n, l, h, p, 2).transpose(0, 1, 4, 2, 3, 5)
+    dw = dattw.reshape(b, n, l, h, p).transpose(0, 1, 4, 2, 3)
+    dlw = jnp.concatenate(
+        [doff.reshape(b, n, 2 * nch), dw.reshape(b, n, nch)], axis=-1
+    ).astype(lw.dtype)
+    return dval, dlw, jnp.zeros_like(ref_sorted)
+
+
+_hi_vjp_lw.defvjp(_hi_fwd_lw, _hi_bwd_lw)
+
+
+def ms_deform_attn_hi_lw(
+    value_cm,  # [b, h*d, k] CHANNEL-MAJOR
+    lw,  # [b, n, 3*nch] packed (p, l, h, 2) offsets | (p, l, h) weights
+    ref_sorted,  # [b, n, 2] f32 sorted reference points (frame-constant)
+    spatial_shapes,
+    *,
+    heads,
+    points,
+    stride=4,
+    halo=13,
+    cap_tile=512,
+    compute_dtype=jnp.float32,
+):
+    """`ms_deform_attn_hi` from the PACKED sorted projection tensor.
+
+    Same kernel and numerics as the flat-loc entry (sampling location =
+    packed offset + ref, bilinear in f32), but the payload prep consumes
+    the sort gather's output directly: no decoded [b, n, 2*nch] f32
+    location tensor, no separate weight cast, one relayout instead of
+    four (~half the per-layer prep HBM traffic at base SCA shapes —
+    the round-4 encoder bisection's unaccounted ~6 ms/layer,
+    BENCH_NOTES round 5). Differentiable in (value_cm, lw); the
+    reference points get zero cotangent (camera geometry, no params)."""
+    if isinstance(halo, list):
+        halo = tuple(halo)
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        interpret = True
+    if value_cm.ndim == 4:
+        value_cm = value_cm.reshape(value_cm.shape[0], -1, value_cm.shape[3])
+    return _hi_vjp_lw(
+        value_cm, lw, jax.lax.stop_gradient(ref_sorted), spatial_shapes,
+        heads, points, stride, halo, cap_tile, compute_dtype, interpret,
+    )
 
 
 def ms_deform_attn_hi(

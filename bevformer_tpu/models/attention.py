@@ -23,6 +23,7 @@ from scratch matches the reference recipe.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Tuple
 
@@ -121,6 +122,33 @@ def _permute_rows_bwd(res, g):
 
 
 permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def unsort_reduce(out_s, sort_inv, sort_perm, nz):
+    """Fused unsort + per-query z-anchor sum: out_s [b, n, e] in sorted
+    item order -> [b, n//nz, e] with row j = sum_z out_s[b, sort_inv[b,
+    j*nz+z], :]. One gather+reduce instead of unsort -> reshape -> sum
+    (no [b, n, e] unsorted intermediate), and the BACKWARD is the single
+    composed gather d_out_s[b, s] = g[b, sort_perm[b, s] // nz] (the
+    generic vjp would broadcast a [b, n, e] cotangent then re-permute)."""
+    b, n, e = out_s.shape
+    g = jnp.take_along_axis(out_s, sort_inv[:, :, None], axis=1)
+    return g.reshape(b, n // nz, nz, e).sum(axis=2)
+
+
+def _unsort_reduce_fwd(out_s, sort_inv, sort_perm, nz):
+    return unsort_reduce(out_s, sort_inv, sort_perm, nz), (sort_perm,)
+
+
+def _unsort_reduce_bwd(nz, res, g):
+    (sort_perm,) = res
+    idx = sort_perm // nz  # item s -> its query row in g
+    d = jnp.take_along_axis(g, idx[:, :, None], axis=1)
+    return d.astype(g.dtype), None, None
+
+
+unsort_reduce.defvjp(_unsort_reduce_fwd, _unsort_reduce_bwd)
 
 
 def softmax_groups_flat(logits_flat, shape, axes):
@@ -314,6 +342,7 @@ class MSDeformableAttention3D(nn.Module):
         spatial_shapes: Tuple[Tuple[int, int], ...],
         sort_perm: Optional[jnp.ndarray] = None,  # [b, q*nz] hoisted sort
         sort_inv: Optional[jnp.ndarray] = None,
+        ref_sorted: Optional[jnp.ndarray] = None,  # [b, q*nz, 2] hoisted
     ) -> jnp.ndarray:
         b, q, _ = query.shape
         h, l, p = self.num_heads, self.num_levels, self.num_points
@@ -329,7 +358,7 @@ class MSDeformableAttention3D(nn.Module):
             )(value)
             return self._fused_forward(
                 query, v_cm, reference_points, spatial_shapes, mode,
-                sort_perm, sort_inv,
+                sort_perm, sort_inv, ref_sorted=ref_sorted,
             )
 
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
@@ -431,24 +460,24 @@ class MSDeformableAttention3D(nn.Module):
         return ms_deform_attn(v, spatial_shapes, locations, weights)
 
     def _fused_forward(self, query, v, reference_points, spatial_shapes,
-                       mode, sort_perm, sort_inv):
+                       mode, sort_perm, sort_inv, ref_sorted=None):
         """Fused windowed-kernel path (heads-inner v3 kernel): items =
         (query, z-anchor) rows sorted by projected anchor row so every
         kernel tile is row-coherent (the anchors of ONE query span too
         many image rows to sort at query granularity). The permutation
-        depends only on the frame-constant reference points — hot-loop
-        callers hoist it via sort_perm/sort_inv.
+        AND the sorted reference points depend only on the frame-constant
+        camera geometry — hot-loop callers hoist them via
+        sort_perm/sort_inv/ref_sorted (`sca_capacity_precompute`).
 
         Layout strategy: the offset/weight projections are emitted with
-        channels in (anchor | level, head, point) order by permuting the
+        channels in (anchor | point, level, head) order by permuting the
         Dense PARAM columns (tiny) instead of transposing the activations
-        — exactly the flat layout the heads-inner kernel consumes with
-        NO further relayout (the v2 kernel's internal 6D head-to-batch
-        transpose measured ~26 ms/layer at base scale). bf16 mode
-        additionally permutes in bf16, riding the f32 anchors through the
-        same row gather as bitcast 16-bit halves (exact anchors, ~2e-4
-        offset rounding)."""
-        from bevformer_tpu.kernels.msda_hi import ms_deform_attn_hi
+        — exactly the packed layout `ms_deform_attn_hi_lw` consumes: the
+        sort gather moves ONE bf16 tensor and the kernel's payload prep
+        does a single relayout (the decoded-f32 flat-loc path it replaces
+        cost ~6 ms/layer of extra HBM traffic at base scale — the round-4
+        encoder bisection's unaccounted slope, BENCH_NOTES round 5)."""
+        from bevformer_tpu.kernels.msda_hi import ms_deform_attn_hi_lw
 
         b, q, _ = query.shape
         h, l, p = self.num_heads, self.num_levels, self.num_points
@@ -458,19 +487,19 @@ class MSDeformableAttention3D(nn.Module):
         ppa = p // nz
         nch = h * l * ppa  # weight channels; offsets are 2x this
 
-        # channel order (nz | l, h, ppa[, 2]): nz folds into the row axis,
-        # the rest is the kernel's flat layout
+        # channel order (nz | ppa, l, h[, 2]): nz folds into the row axis,
+        # the rest is the packed-lw layout. Params keep reference order.
         cp_off = tuple(
             np.arange(h * l * p * 2)
             .reshape(h, l, ppa, nz, 2)
-            .transpose(3, 1, 0, 2, 4)
+            .transpose(3, 2, 1, 0, 4)
             .ravel()
             .tolist()
         )
         cp_w = tuple(
             np.arange(h * l * p)
             .reshape(h, l, ppa, nz)
-            .transpose(3, 1, 0, 2)
+            .transpose(3, 2, 1, 0)
             .ravel()
             .tolist()
         )
@@ -479,20 +508,20 @@ class MSDeformableAttention3D(nn.Module):
             h * l * p * 2, cp_off,
             bias_init=_offset_bias_init(h, l, p),
             name="sampling_offsets",
-        )(qf).reshape(b, q, nz, l, h, ppa, 2)
+        )(qf).reshape(b, q, nz, ppa, l, h, 2)
         logits = _ColPermDense(
             h * l * p, cp_w, name="attention_weights",
         )(qf)
         # reference softmax is over (levels, points) per head; with the
-        # anchor axis split out that is axes (nz, l, ppa) jointly —
+        # anchor axis split out that is axes (nz, ppa, l) jointly —
         # computed flat so no 6D residual is saved (train memory)
         w_am = softmax_groups_flat(
-            logits, (b, q, nz, l, h, ppa), (2, 3, 5)
+            logits, (b, q, nz, ppa, l, h), (2, 3, 4)
         )
         normalizer = jnp.array(
             [[w, hh] for hh, w in spatial_shapes], jnp.float32
         )
-        off_am = off_am / normalizer[None, None, None, :, None, None, :]
+        off_am = off_am / normalizer[None, None, None, None, :, None, :]
 
         if sort_perm is None:
             key = reference_points[..., 1].astype(jnp.float32).reshape(
@@ -500,52 +529,32 @@ class MSDeformableAttention3D(nn.Module):
             )
             sort_perm = jnp.argsort(key, axis=1)
             sort_inv = jnp.argsort(sort_perm, axis=1)
-
         refq = reference_points.astype(jnp.float32).reshape(b, q * nz, 2)
-        if mode == "bf16":
-            ref_bits = jax.lax.bitcast_convert_type(
-                refq, jnp.bfloat16
-            ).reshape(b, q * nz, 4)
-            cat = jnp.concatenate(
-                [
-                    off_am.reshape(b, q * nz, nch * 2).astype(jnp.bfloat16),
-                    w_am.reshape(b, q * nz, nch).astype(jnp.bfloat16),
-                    ref_bits,
-                ],
-                axis=-1,
+        if ref_sorted is None:
+            ref_sorted = jnp.take_along_axis(
+                refq, sort_perm[:, :, None], axis=1
             )
-            lw = permute_rows(cat, sort_perm, sort_inv)
-            w_s = lw[..., nch * 2 : nch * 3].astype(jnp.float32)
-            w_s = w_s.reshape(b, q * nz, h, l, ppa)
-            ref_s = jax.lax.bitcast_convert_type(
-                lw[..., nch * 3 :].reshape(b, q * nz, 2, 2), jnp.float32
-            ).reshape(b, q * nz, 2)
-            off_s_flat = lw[..., : nch * 2].astype(jnp.float32)
-        else:
-            cat = jnp.concatenate(
-                [
-                    off_am.reshape(b, q * nz, nch * 2),
-                    w_am.reshape(b, q * nz, nch),
-                    refq,
-                ],
-                axis=-1,
-            )
-            lw = permute_rows(cat, sort_perm, sort_inv)
-            off_s_flat = lw[..., : nch * 2]
-            w_s = lw[..., nch * 2 : nch * 3].reshape(b, q * nz, h, l, ppa)
-            ref_s = lw[..., nch * 3 :]
-        # FLAT sampling locations all the way to the kernel boundary: a 6D
-        # [.., l, ppa, 2]-minor array crossing the custom_vjp/jit boundary
-        # gets a tile-padded layout (32x memory — the base train OOM)
-        loc_s_flat = off_s_flat + jnp.tile(ref_s, (1, 1, nch))
+
+        dt = jnp.bfloat16 if mode == "bf16" else jnp.float32
+        cat = jnp.concatenate(
+            [
+                off_am.reshape(b, q * nz, nch * 2).astype(dt),
+                w_am.reshape(b, q * nz, nch).astype(dt),
+            ],
+            axis=-1,
+        )
+        lw = permute_rows(cat, sort_perm, sort_inv)
         spec = _as_spec(self.fused_msda)
         halo = spec.sca_halo if spec.sca_halo is not None else self.fused_halo
         if spec.audit:
-            from bevformer_tpu.kernels.msda_hi import window_drop_mass_hi
+            from bevformer_tpu.kernels.msda_hi import (
+                _decode_lw,
+                window_drop_mass_hi,
+            )
 
+            loc_s_flat, w_s_flat = _decode_lw(lw, ref_sorted, l, h, ppa)
             dm = window_drop_mass_hi(
-                spatial_shapes, loc_s_flat,
-                w_s.reshape(b, q * nz, nch),
+                spatial_shapes, loc_s_flat, w_s_flat,
                 heads=h, points=ppa,
                 stride=self.fused_stride, halo=halo,
                 cap_tile=self.fused_cap_tile,
@@ -553,19 +562,17 @@ class MSDeformableAttention3D(nn.Module):
             self.sow("intermediates", "msda_drop_mass", dm)
             self.sow(
                 "intermediates", "msda_total_mass",
-                jnp.sum(w_s.astype(jnp.float32)),
+                jnp.sum(w_s_flat.astype(jnp.float32)),
             )
-        out_s = ms_deform_attn_hi(
-            None, spatial_shapes, loc_s_flat,
-            w_s.reshape(b, q * nz, nch),
+        out_s = ms_deform_attn_hi_lw(
+            v, lw, ref_sorted, spatial_shapes,
             heads=h, points=ppa,
             stride=self.fused_stride, halo=halo,
             cap_tile=self.fused_cap_tile,
             compute_dtype=_fused_dtype(mode),
-            value_cm=v,  # [b, e, k] channel-major
         )  # [b, q*nz, h*dh]
-        out = permute_rows(out_s, sort_inv, sort_perm)
-        return out.reshape(b, q, nz, h * dh).sum(axis=2).astype(out_s.dtype)
+        out = unsort_reduce(out_s, sort_inv, sort_perm, nz)
+        return out.astype(out_s.dtype)
 
 
 def sca_capacity_precompute(
@@ -597,14 +604,14 @@ def sca_capacity_precompute(
     if presort_queries is None:
         import os
 
-        presort_queries = os.environ.get("BEVFORMER_SCA_PRESORT", "1") == "1"
+        presort_queries = os.environ.get("BEVFORMER_SCA_PRESORT", "0") == "1"
     if presort_queries:
         # reorder the routed queries by MEAN anchor image row (frame
-        # constant): the per-layer item sort then only moves rows locally
-        # (anchors of y-adjacent queries interleave), which the gather
-        # engine rewards — ascending-ish indices measured up to 4x the
-        # bandwidth of a random permutation (tools/bench_sca_probe.py
-        # permgeo / BENCH_NOTES round 5)
+        # constant) so the per-layer item sort only moves rows locally.
+        # DEFAULT OFF: measured on TPU (tools/bench_sca_probe.py permgeo,
+        # round 5) the [6,40k,196] permute is per-row issue-bound, not
+        # locality-bound — RESID-geo 3.28 vs RASTER-geo 3.35 ms while this
+        # reorder costs ~1.6 ms/frame of extra precompute (net loss)
         key_q = ref_sel[..., 1].mean(axis=-1)  # [bs, cams, cap]
         qorder = jnp.argsort(key_q, axis=-1)
         top_idx = jnp.take_along_axis(top_idx, qorder, axis=2)
@@ -619,6 +626,11 @@ def sca_capacity_precompute(
         perm = jnp.argsort(key, axis=1)
         out["sort_perm"] = perm
         out["sort_inv"] = jnp.argsort(perm, axis=1)
+        # sorted reference points, hoisted for the packed-lw kernel entry
+        refq = ref_sel.astype(jnp.float32).reshape(bs * cams, cap * nz, 2)
+        out["ref_sorted"] = jnp.take_along_axis(
+            refq, perm[:, :, None], axis=1
+        )
     return out
 
 
@@ -717,6 +729,7 @@ class SpatialCrossAttention(nn.Module):
                 spatial_shapes,
                 sort_perm=pre.get("sort_perm"),
                 sort_inv=pre.get("sort_inv"),
+                ref_sorted=pre.get("ref_sorted"),
             ).reshape(bs, cams, cap, e)
             attn = attn * vis_sel[..., None].astype(attn.dtype)
             # fold back to BEV slots — gather formulation in both

@@ -279,3 +279,107 @@ def test_hi_per_head_halos():
         denom = float(jnp.abs(b_).max()) + 1e-9
         err = float(jnp.abs(a_ - b_).max()) / denom
         assert err < 5e-5, (name, err)
+
+
+def test_hi_lw_matches_flat_entry():
+    """Packed-lw entry (`ms_deform_attn_hi_lw`: sorted (p,l,h) offsets |
+    weights + hoisted reference points, the layout `_fused_forward` feeds
+    straight from the sort gather) matches the flat-loc entry in forward
+    AND backward, including bf16 lw storage."""
+    from bevformer_tpu.kernels import msda_hi as mh
+
+    rng = np.random.RandomState(17)
+    shapes = ((32, 22), (16, 11))
+    b, q, heads, points, d = 2, 512, 4, 4, 32
+    l = len(shapes)
+    nch = l * heads * points
+    k = sum(hh * ww for hh, ww in shapes)
+    value_cm = jnp.array(rng.randn(b, heads * d, k), jnp.float32) * 0.5
+    loc = _coherent_locations(rng, b, q, heads, shapes, points)
+    w = rng.rand(b, q, heads, l, points).astype(np.float32)
+    loc_f, w_f = to_flat_lhp(loc, w)
+    # packed form: ref = per-item anchor, off = loc - ref, channels
+    # reordered (l, h, p) -> (p, l, h)
+    ref = loc.reshape(b, q, heads, l, points, 2).mean(axis=(2, 3, 4))
+    off = loc.reshape(b, q, heads, l, points, 2) - ref[:, :, None, None, None]
+    off_plh = off.transpose(0, 1, 4, 3, 2, 5).reshape(b, q, 2 * nch)
+    w_plh = w.reshape(b, q, heads, l, points).transpose(
+        0, 1, 4, 3, 2).reshape(b, q, nch)
+    lw = np.concatenate([off_plh, w_plh], axis=-1)
+    cot = jnp.array(rng.randn(b, q, heads * d), jnp.float32)
+    kw = dict(heads=heads, points=points, stride=4, halo=8, cap_tile=64)
+
+    def loss_flat(vc, lf, wf):
+        out = mh.ms_deform_attn_hi(None, shapes, lf, wf, value_cm=vc, **kw)
+        return (out * cot).sum(), out
+
+    def loss_lw(vc, lw_):
+        out = mh.ms_deform_attn_hi_lw(vc, lw_, jnp.asarray(ref), shapes, **kw)
+        return (out * cot).sum(), out
+
+    (_, out_f), g_f = jax.value_and_grad(
+        loss_flat, argnums=(0, 1, 2), has_aux=True
+    )(value_cm, jnp.asarray(loc_f), jnp.asarray(w_f))
+    (_, out_l), g_l = jax.value_and_grad(
+        loss_lw, argnums=(0, 1), has_aux=True
+    )(value_cm, jnp.asarray(lw, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(out_l), np.asarray(out_f), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_l[0]), np.asarray(g_f[0]), rtol=0, atol=2e-5
+    )
+    # repack the flat-entry loc/attw grads into lw columns: d(off) ==
+    # d(loc) (loc = off + stop_grad(ref))
+    dloc_p = np.asarray(g_f[1]).reshape(b, q, l, heads, points, 2)
+    dw_p = np.asarray(g_f[2]).reshape(b, q, l, heads, points)
+    dlw_ref = np.concatenate(
+        [
+            dloc_p.transpose(0, 1, 4, 2, 3, 5).reshape(b, q, 2 * nch),
+            dw_p.transpose(0, 1, 4, 2, 3).reshape(b, q, nch),
+        ],
+        axis=-1,
+    )
+    # off = loc - ref here, and the lw path recomposes off + ref in f32:
+    # one-ulp location shifts flip bilinear cells for a few items, so the
+    # loc/attw gradients (scale ~|value|*W) differ at the 1e-4 level
+    gscale = max(np.abs(dlw_ref).max(), 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_l[1]), dlw_ref, rtol=0, atol=2e-5 * gscale
+    )
+
+    # bf16 lw storage: offsets/weights round to bf16 but loc math is f32
+    out_b = mh.ms_deform_attn_hi_lw(
+        value_cm, jnp.asarray(lw, jnp.bfloat16), jnp.asarray(ref), shapes,
+        compute_dtype=jnp.bfloat16, **kw,
+    )
+    scale = max(np.abs(np.asarray(out_f)).max(), 1e-6)
+    assert np.abs(np.asarray(out_b) - np.asarray(out_f)).mean() < 0.01 * scale
+
+
+def test_unsort_reduce_matches_naive():
+    """Fused unsort + z-anchor reduce == permute_rows -> reshape -> sum,
+    in value and gradient."""
+    from bevformer_tpu.models.attention import permute_rows, unsort_reduce
+
+    rng = np.random.RandomState(5)
+    b, nq, nz, e = 2, 128, 4, 32
+    n = nq * nz
+    out_s = jnp.array(rng.randn(b, n, e), jnp.float32)
+    perm = jnp.argsort(jnp.array(rng.rand(b, n)), axis=1)
+    inv = jnp.argsort(perm, axis=1)
+    cot = jnp.array(rng.randn(b, nq, e), jnp.float32)
+
+    def naive(o):
+        u = permute_rows(o, inv, perm)
+        return (u.reshape(b, nq, nz, e).sum(axis=2) * cot).sum()
+
+    def fused(o):
+        return (unsort_reduce(o, inv, perm, nz) * cot).sum()
+
+    v_n, g_n = jax.value_and_grad(naive)(out_s)
+    v_f, g_f = jax.value_and_grad(fused)(out_s)
+    np.testing.assert_allclose(float(v_f), float(v_n), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_n), rtol=0, atol=1e-6
+    )

@@ -74,12 +74,13 @@ def main():
 
     t_bb = timed(backbone, (params, images), f"{CONFIG} backbone+neck")
     t_bev = timed(bev_only, (params, images), f"{CONFIG} bev-only (backbone+encoder)")
-    t_full = timed(full, (params, images), f"{CONFIG} full forward")
-    print(
-        f"encoder ~= {1e3*(t_bev - t_bb):.1f} ms, "
-        f"decoder+head ~= {1e3*(t_full - t_bev):.1f} ms",
-        flush=True,
-    )
+    print(f"encoder ~= {1e3*(t_bev - t_bb):.1f} ms", flush=True)
+    if os.environ.get("BENCH_SKIP_FULL", "0") != "1":
+        t_full = timed(full, (params, images), f"{CONFIG} full forward")
+        print(
+            f"decoder+head ~= {1e3*(t_full - t_bev):.1f} ms",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -161,6 +161,18 @@ def main():
                 "perm cat via vmap arr[p]",
                 lambda c_: jax.vmap(lambda a, p_: a[p_])(c_, perm), cat,
             )
+        elif m == "unsortred":
+            from bevformer_tpu.models.attention import unsort_reduce
+
+            def old(o_):
+                u = permute_rows(o_, inv, perm)
+                return u.reshape(b, cap, nz, e).sum(axis=2)
+
+            timed("unsort+reshape+sum (old)", old, out_s)
+            timed(
+                "unsort_reduce (fused)",
+                lambda o_: unsort_reduce(o_, inv, perm, nz), out_s,
+            )
         elif m == "unsortv":
             timed(
                 "unsort out via vmap arr[p]",
@@ -185,7 +197,6 @@ def main():
                 return tsa.apply(pt, q_, vq, qp, hr, 200, 200)
             timed("TSA module [1,40k,256]", tsa_fn, qt)
         elif m == "tsakern":
-            from bevformer_tpu.kernels.msda_hi import ms_deform_attn_hi
             vcm2 = jnp.array(rng.randn(2, e, QBEV) * 0.1, jnp.bfloat16)
             locT = jnp.array(rng.rand(2, QBEV, 8 * 4 * 2) * 0.9, jnp.float32)
             wT = jnp.array(rng.rand(2, QBEV, 8 * 4) * 0.1, jnp.float32)
@@ -197,6 +208,33 @@ def main():
                     compute_dtype=jnp.bfloat16, value_cm=v_,
                 )
             timed("TSA kernel alone", tkern, vcm2)
+        elif m == "prep":
+            # payload prep alone (loc PERTURBED so nothing hoists out of
+            # the timing scan): the kern mode's loop-invariant loc/w hoist
+            # _prep_hi out of its loop — this is the per-layer cost the
+            # r4 stage decomposition missed
+            from bevformer_tpu.kernels import msda_hi as mh
+
+            def prep(l_):
+                pay, jrowx, q_pad, nt, ntq = mh._prep_hi(
+                    l_, w_flat, SHAPES, h, ppa, 512, 4,
+                    (8, 14, 14, 14, 8, 14, 14, 14), jnp.bfloat16,
+                )
+                return (pay.ravel()[:1].astype(jnp.float32)
+                        + jrowx.ravel()[:1].astype(jnp.float32))
+            timed("SCA payload prep (_prep_hi)", prep, loc_sorted)
+        elif m == "fsplit":
+            # the _fused_forward glue between the sorted lw cat and the
+            # kernel call: bf16 split + f32 casts + loc=off+tile(ref)
+            def fs(lw_):
+                w_s = lw_[..., nch * 2: nch * 3].astype(jnp.float32)
+                ref_s = jax.lax.bitcast_convert_type(
+                    lw_[..., nch * 3:].reshape(b, n, 2, 2), jnp.float32
+                ).reshape(b, n, 2)
+                off_s_flat = lw_[..., : nch * 2].astype(jnp.float32)
+                loc_s_flat = off_s_flat + jnp.tile(ref_s, (1, 1, nch))
+                return loc_s_flat.ravel()[:1] + w_s.ravel()[:1]
+            timed("fused split+cast+loc glue", fs, cat)
         elif m == "wprep":
             from bevformer_tpu.kernels.msda_hi import prepare_window_values_cm
 
