@@ -56,9 +56,9 @@ def main():
     k = sum(a * b for a, b in shapes)
     q = cfg.bev_h * cfg.bev_w
     value = jnp.array(rng.randn(1, cfg.data.num_cams, k, e) * 0.1, jnp.bfloat16)
-    bev_query = jnp.array(rng.randn(1, q, e) * 0.1, jnp.float32)
-    bev_pos = jnp.array(rng.randn(1, q, e) * 0.1, jnp.float32)
-    prev_bev = jnp.array(rng.randn(1, q, e) * 0.1, jnp.float32)
+    bev_query = jnp.array(rng.randn(1, q, e) * 0.1, jnp.bfloat16)
+    bev_pos = jnp.array(rng.randn(1, q, e) * 0.1, jnp.bfloat16)
+    prev_bev = jnp.array(rng.randn(1, q, e) * 0.1, jnp.bfloat16)
     has_prev = jnp.ones((1,), jnp.float32)
     shift = jnp.zeros((1, 2), jnp.float32)
 
@@ -76,7 +76,7 @@ def main():
             fused_msda=cfg.fused_spec(audit=False),
             dtype=jnp.bfloat16,
         )
-        params = jax.jit(enc.init)(
+        params = jax.jit(enc.init, static_argnums=(8, 9, 10, 11))(
             jax.random.PRNGKey(0), bev_query, value, bev_pos, prev_bev,
             has_prev, shift, lidar2img, tuple(cfg.data.img_size),
             tuple(shapes), cfg.bev_h, cfg.bev_w,
