@@ -189,6 +189,28 @@ def routing_inverse(top_idx, q):
     return jax.vmap(jax.vmap(one))(top_idx)
 
 
+def routing_inverse_vis(anyz, cap):
+    """`routing_inverse` for the STABLE visible-first top-k selection that
+    `sca_capacity_precompute` builds (visible queries in ascending index
+    order, then invisible fillers ascending): inv/found are pure rank
+    arithmetic over visibility cumsums. The general sort+searchsorted
+    construction measured ~29 ms/frame at base scale — jnp.searchsorted's
+    default 'scan' method issues log2(cap) rounds of 240k-element gathers
+    (tools/bench_sca_probe.py presel, round 5); this is ~0.1 ms of cumsum.
+    """
+    q = anyz.shape[-1]
+    a = anyz.astype(jnp.int32)
+    nv = jnp.cumsum(a, axis=-1)  # inclusive visible count
+    n_vis = nv[..., -1:]
+    iq = jnp.arange(q, dtype=jnp.int32)
+    # visible q: slot = rank among visible; invisible q: slot = n_vis +
+    # rank among invisible (fillers occupy the tail of the top-k list)
+    rank = jnp.where(anyz, nv - 1, n_vis + iq - nv)
+    found = rank < cap
+    inv = jnp.where(found, rank, 0).astype(jnp.int32)
+    return inv, found
+
+
 @jax.custom_vjp
 def route_gather(x, top_idx, inv, found):
     """x [bs, q, e] -> [bs, cams, cap, e]; backward is a GATHER by the
@@ -620,17 +642,26 @@ def sca_capacity_precompute(
         )
         vis_sel = jnp.take_along_axis(vis_sel, qorder, axis=2)
     out = dict(top_idx=top_idx, ref_sel=ref_sel, vis_sel=vis_sel, anyz=anyz)
-    out["inv"], out["found"] = routing_inverse(out["top_idx"], q)
+    if presort_queries:
+        # qorder reshuffle breaks the visible-first/ascending invariant
+        out["inv"], out["found"] = routing_inverse(out["top_idx"], q)
+    else:
+        out["inv"], out["found"] = routing_inverse_vis(anyz, cap)
     if with_sort:
-        key = ref_sel[..., 1].astype(jnp.float32).reshape(bs * cams, cap * nz)
-        perm = jnp.argsort(key, axis=1)
+        refq = ref_sel.astype(jnp.float32).reshape(bs * cams, cap * nz, 2)
+        key = refq[..., 1]  # anchor image row
+        iota = jnp.broadcast_to(
+            jnp.arange(cap * nz, dtype=jnp.int32)[None], key.shape
+        )
+        # ONE variadic stable sort carries perm AND the reference points
+        # through the sort network — the separate argsort + 240k-row
+        # 8-byte take_along_axis it replaces cost ~3 ms/frame
+        _, perm, rx_s, ry_s = jax.lax.sort(
+            (key, iota, refq[..., 0], key), dimension=1, num_keys=1,
+        )
         out["sort_perm"] = perm
         out["sort_inv"] = jnp.argsort(perm, axis=1)
-        # sorted reference points, hoisted for the packed-lw kernel entry
-        refq = ref_sel.astype(jnp.float32).reshape(bs * cams, cap * nz, 2)
-        out["ref_sorted"] = jnp.take_along_axis(
-            refq, perm[:, :, None], axis=1
-        )
+        out["ref_sorted"] = jnp.stack([rx_s, ry_s], axis=-1)
     return out
 
 

@@ -502,6 +502,64 @@ def test_sca_routing_fns_match_scatter_formulation():
                                atol=1e-5)
 
 
+def test_routing_inverse_vis_matches_general():
+    """The cumsum fast path assumes the stable visible-first top-k order
+    `sca_capacity_precompute` produces; pin it against the general
+    sort+searchsorted construction across visibility regimes (n_vis<cap,
+    >cap, 0, all)."""
+    import jax
+
+    from bevformer_tpu.models.attention import (
+        routing_inverse, routing_inverse_vis,
+    )
+
+    rng = np.random.RandomState(7)
+    bs, cams, q, cap = 2, 3, 64, 16
+    masks = [
+        rng.rand(bs, cams, q) < 0.15,  # mostly n_vis < cap
+        rng.rand(bs, cams, q) < 0.6,   # n_vis > cap
+        np.zeros((bs, cams, q), bool),
+        np.ones((bs, cams, q), bool),
+    ]
+    for mk in masks:
+        anyz = jnp.asarray(mk)
+        vis = anyz.astype(jnp.float32)
+        _, top_idx = jax.lax.top_k(
+            vis - jnp.arange(q, dtype=jnp.float32)[None, None] * 1e-9, cap
+        )
+        inv_g, found_g = routing_inverse(top_idx, q)
+        inv_v, found_v = routing_inverse_vis(anyz, cap)
+        np.testing.assert_array_equal(np.asarray(found_g),
+                                      np.asarray(found_v))
+        np.testing.assert_array_equal(np.asarray(inv_g), np.asarray(inv_v))
+
+
+def test_capacity_precompute_sort_outputs():
+    """The variadic-sort formulation of sort_perm/sort_inv/ref_sorted must
+    match the argsort+gather formulation it replaced."""
+    from bevformer_tpu.models.attention import sca_capacity_precompute
+
+    rng = np.random.RandomState(9)
+    bs, cams, q, nz = 1, 3, 64, 4
+    ref = jnp.array(rng.rand(bs, cams, q, nz, 2), jnp.float32)
+    mask = jnp.array(rng.rand(bs, cams, q, nz) < 0.4)
+    out = sca_capacity_precompute(ref, mask, 0.25, with_sort=True)
+    cap = out["top_idx"].shape[-1]
+    refq = np.asarray(out["ref_sel"]).reshape(bs * cams, cap * nz, 2)
+    key = refq[..., 1]
+    perm_ref = np.argsort(key, axis=1, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out["sort_perm"]), perm_ref)
+    np.testing.assert_array_equal(
+        np.asarray(out["sort_inv"]),
+        np.argsort(perm_ref, axis=1, kind="stable"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["ref_sorted"]),
+        np.take_along_axis(refq, perm_ref[:, :, None], axis=1),
+        atol=0,
+    )
+
+
 def test_decoder_cross_attn_fused_matches_off():
     """CustomMSDeformableAttention fused path (sorted queries) vs XLA."""
     import jax

@@ -62,6 +62,34 @@ def main():
     has_prev = jnp.ones((1,), jnp.float32)
     shift = jnp.zeros((1, 2), jnp.float32)
 
+    if os.environ.get("GLUE", "0") == "1":
+        # the encoder's per-frame fixed work alone (everything outside the
+        # layer scan), with every product consumed so nothing DCEs
+        from bevformer_tpu.core import geometry
+        from bevformer_tpu.models.attention import sca_capacity_precompute
+
+        pc = cfg.pc_range
+        npil = cfg.num_points_in_pillar
+
+        def glue(l2i_, c, shift_):
+            l2i_ = l2i_ + c * 0
+            ref_3d = geometry.reference_points_3d(
+                cfg.bev_h, cfg.bev_w, pc[5] - pc[2], npil, bs=1
+            )
+            ref_2d = geometry.reference_points_2d(cfg.bev_h, cfg.bev_w, bs=1)
+            rpc, bm = geometry.point_sampling(
+                ref_3d, pc, l2i_, tuple(cfg.data.img_size)
+            )
+            shift_ref = ref_2d + shift_[:, None, None, :]
+            hybrid = jnp.stack([shift_ref, ref_2d], axis=1)
+            pre = sca_capacity_precompute(rpc, bm, cfg.sca_capacity_ratio)
+            acc = rpc.ravel()[0] + hybrid.ravel()[0]
+            for v_ in jax.tree_util.tree_leaves(pre):
+                acc = acc + v_.ravel()[0].astype(jnp.float32)
+            return acc
+        timed(glue, (lidar2img.astype(jnp.float32), shift), "encoder glue (fixed/frame)")
+        return
+
     for nl in [int(x) for x in os.environ.get("LAYERS", "1 2 6").split()]:
         enc = BEVFormerEncoder(
             num_layers=nl,

@@ -318,6 +318,140 @@ def main():
                     200, 200, sca_precomputed=pre_,
                 )
             timed("BEVFormerLayer full", lfn, qt)
+        elif m == "scamod":
+            # FULL SpatialCrossAttention module (lw fused path) with the
+            # frame-constant routing precomputed — the true per-layer SCA
+            # cost in the encoder scan (routing + dense + sort + kernel +
+            # wprep + unsort_reduce + residual/output proj)
+            from bevformer_tpu.models.attention import (
+                SpatialCrossAttention, sca_capacity_precompute,
+            )
+            from bevformer_tpu.configs.config import FusedSpec
+
+            spec = FusedSpec(msda="bf16", audit=False)
+            sca = SpatialCrossAttention(
+                embed_dims=e, num_cams=6, num_heads=h, num_levels=l,
+                num_points=nz * ppa, capacity_ratio=0.25, fused_msda=spec,
+                dtype=jnp.bfloat16,
+            )
+            qt = jnp.array(rng.randn(1, QBEV, e) * 0.1, jnp.float32)
+            vt = jnp.array(rng.randn(1, 6, k, e) * 0.1, jnp.bfloat16)
+            ref_cam = jnp.array(rng.rand(1, 6, QBEV, nz, 2), jnp.float32)
+            maskq = jnp.array(rng.rand(1, 6, QBEV, nz) < 0.23)
+            pre_ = jax.jit(
+                lambda r_: sca_capacity_precompute(r_, maskq, 0.25)
+            )(ref_cam)
+            ps_ = jax.jit(lambda k_: sca.init(
+                k_, qt, vt, None, ref_cam, maskq, SHAPES,
+                precomputed=pre_,
+            ))(jax.random.PRNGKey(0))
+
+            def sfn(q_):
+                return sca.apply(
+                    ps_, q_, vt, None, ref_cam, maskq, SHAPES,
+                    precomputed=pre_,
+                )
+            timed("SCA module full [1,40k,256]", sfn, qt)
+        elif m == "rinv":
+            # routing_inverse alone (sort+searchsorted per camera) — the
+            # earlier "pre" mode consumed only sort_perm so this DCE'd
+            ti = jnp.array(
+                np.stack(
+                    [np.sort(rng.choice(QBEV, cap, replace=False))
+                     for _ in range(6)]
+                )[None],
+                jnp.int32,
+            )
+
+            def ri(t_):
+                iv, fd = routing_inverse(t_, QBEV)
+                return (iv.ravel()[:1].astype(jnp.float32)
+                        + fd.ravel()[:1].astype(jnp.float32))
+            timed("routing_inverse [1,6,10k]->40k", ri, ti)
+        elif m == "prefull":
+            # FULL sca_capacity_precompute with every output consumed
+            from bevformer_tpu.models.attention import sca_capacity_precompute
+            ref_cam = jnp.array(rng.rand(1, 6, QBEV, nz, 2), jnp.float32)
+            mask = jnp.array(rng.rand(1, 6, QBEV, nz) < 0.23)
+
+            def pf(r_):
+                out = sca_capacity_precompute(r_, mask, 0.25, with_sort=True)
+                acc = jnp.float32(0)
+                for v_ in jax.tree_util.tree_leaves(out):
+                    acc = acc + v_.ravel()[0].astype(jnp.float32)
+                return acc[None]
+            timed("sca_capacity_precompute FULL", pf, ref_cam)
+        elif m == "presel":
+            # full composed precompute, consuming progressively more
+            # outputs — DCE isolates which output's chain costs the 35 ms
+            from bevformer_tpu.models.attention import sca_capacity_precompute
+            ref_cam = jnp.array(rng.rand(1, 6, QBEV, nz, 2), jnp.float32)
+            mask = jnp.array(rng.rand(1, 6, QBEV, nz) < 0.23)
+
+            sets = [
+                ("top_idx",), ("top_idx", "ref_sel", "vis_sel"),
+                ("top_idx", "ref_sel", "vis_sel", "inv", "found"),
+                ("top_idx", "ref_sel", "vis_sel", "inv", "found",
+                 "sort_perm", "sort_inv"),
+                ("top_idx", "ref_sel", "vis_sel", "inv", "found",
+                 "sort_perm", "sort_inv", "ref_sorted"),
+            ]
+            for keys in sets:
+                def pf(r_, keys=keys):
+                    out = sca_capacity_precompute(
+                        r_, mask, 0.25, with_sort=True
+                    )
+                    acc = jnp.float32(0)
+                    for kk in keys:
+                        acc = acc + out[kk].ravel()[0].astype(jnp.float32)
+                    return acc[None]
+                timed(f"pre[{'+'.join(k[:4] for k in keys)}]", pf, ref_cam)
+        elif m == "prestage":
+            # sca_capacity_precompute piece-by-piece (inputs precomputed
+            # outside the timed graph so each stage is isolated)
+            ref_cam = jnp.array(rng.rand(1, 6, QBEV, nz, 2), jnp.float32)
+            mask = jnp.array(rng.rand(1, 6, QBEV, nz) < 0.23)
+            anyz_ = jnp.any(mask, axis=-1)
+            vis_ = anyz_.astype(jnp.float32)
+            capq = (int(QBEV * 0.25) + 127) // 128 * 128
+            _, ti_ = jax.lax.top_k(
+                vis_ - jnp.arange(QBEV, dtype=jnp.float32)[None, None] * 1e-9,
+                capq,
+            )
+            ti_ = jax.jit(lambda x: x)(ti_)
+            refsel_ = jnp.take_along_axis(
+                ref_cam, ti_[..., None, None], axis=2
+            )
+            key2 = refsel_[..., 1].astype(jnp.float32).reshape(6, capq * nz)
+            perm2 = jnp.argsort(key2, axis=1)
+            refq2 = refsel_.reshape(6, capq * nz, 2)
+
+            def s_topk(v_):
+                _, t = jax.lax.top_k(
+                    v_ - jnp.arange(QBEV, dtype=jnp.float32)[None, None]
+                    * 1e-9, capq,
+                )
+                return t.ravel()[:1].astype(jnp.float32)
+            timed("pre: top_k", s_topk, vis_)
+
+            def s_refsel(t_):
+                rs = jnp.take_along_axis(
+                    ref_cam, t_[..., None, None], axis=2
+                )
+                vs = jnp.take_along_axis(anyz_, t_, axis=2)
+                return rs.ravel()[:1] + vs.ravel()[:1].astype(jnp.float32)
+            timed("pre: ref_sel+vis_sel gather", s_refsel, ti_)
+
+            def s_sorts(k_):
+                p = jnp.argsort(k_, axis=1)
+                iv2 = jnp.argsort(p, axis=1)
+                return (p.ravel()[:1] + iv2.ravel()[:1]).astype(jnp.float32)
+            timed("pre: argsort x2 [6,40448]", s_sorts, key2)
+
+            def s_refsort(r_):
+                out = jnp.take_along_axis(r_, perm2[:, :, None], axis=1)
+                return out.ravel()[:1]
+            timed("pre: ref_sorted gather [6,40448,2]", s_refsort, refq2)
         elif m == "ptsamp":
             from bevformer_tpu.core import geometry
             pc = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
