@@ -45,6 +45,7 @@ heads INSIDE a step:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -808,17 +809,22 @@ def _bwd_aux_kernel_hi(d, h, p, stride, n_levels, ct, compute_dtype,
 
 
 def _bwd_dval_kernel_hi(d, h, p, stride, n_levels, ct,
-                        compute_dtype, jrow_ref, pay_ref, g_ref, *out_refs):
+                        compute_dtype, h_lo, h_hi,
+                        jrow_ref, pay_ref, g_ref, *out_refs):
     """Per (b, query-block): accumulate dValue window-gradient blocks
     [1, 1, h, wrows*d, wwp] per level. Query blocks sharing a window index
     (j is cummax-monotone over blocks) accumulate into the same VMEM
     block; a fresh window overwrites. Unvisited windows stay UNDEFINED —
-    the caller masks by visited-ness."""
+    the caller masks by visited-ness. [h_lo, h_hi) selects the head chunk
+    this call emits (the f32 window blocks of ALL heads at once can
+    exceed the 16 MB scoped-VMEM budget — decoder wrows 49 x 8 heads
+    measured 21.94M at base, train-compile OOM)."""
     i = pl.program_id(0)
     t = pl.program_id(1)
+    hs = h_hi - h_lo
     for lvl in range(n_levels):
-        for hd_i in range(h):
-            out_ref = out_refs[lvl * h + hd_i]
+        for hd_i in range(h_lo, h_hi):
+            out_ref = out_refs[lvl * hs + (hd_i - h_lo)]
             wwp = out_ref.shape[-1]
             wrows = out_ref.shape[-2] // d  # per-HEAD window rows
             j = jrow_ref[lvl * h + hd_i, i, t]
@@ -1002,41 +1008,73 @@ def _backward_hi(
     ])
 
     # ---- pass 2: dValue window gradients ----
-    dval_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, ntq),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, p * nl * h * NCHB, ct), lambda i, t, jr: (i, t, 0, 0)
+    # head-chunked: each call's f32 window output blocks must fit the
+    # 16 MB scoped-VMEM budget (with double-buffering headroom). SCA base
+    # geometry (~8.2 MB) stays one call; the decoder's wrows-49 blocks
+    # (12.85 MB, 21.94M scoped measured) split into two calls.
+    blk_bytes = [
+        sum(wrows_h[hd_] * d * _round_up(ww, LANE) * 4
+            for (hh, ww) in spatial_shapes)
+        for hd_ in range(h)
+    ]
+    budget = int(os.environ.get("MSDA_BWD_DVAL_VMEM", 10 * 1024 * 1024))
+    chunks = []
+    lo = 0
+    while lo < h:
+        hi = lo + 1
+        acc = blk_bytes[lo]
+        while hi < h and acc + blk_bytes[hi] <= budget:
+            acc += blk_bytes[hi]
+            hi += 1
+        chunks.append((lo, hi))
+        lo = hi
+    dwin_parts = []
+    for (h_lo, h_hi) in chunks:
+        dval_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, ntq),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, p * nl * h * NCHB, ct),
+                    lambda i, t, jr: (i, t, 0, 0)
+                ),
+                pl.BlockSpec((1, hd, ct), lambda i, t, jr: (i, 0, t)),
+            ],
+            out_specs=[
+                (lambda li_, wwp_, rm_: pl.BlockSpec(
+                    (1, 1, 1, rm_, wwp_),
+                    lambda i, t, jr, li=li_: (i, jr[li, i, t], 0, 0, 0),
+                ))(lvl_ * h + hd_, _round_up(ww, LANE), wrows_h[hd_] * d)
+                for lvl_, (hh, ww) in enumerate(spatial_shapes)
+                for hd_ in range(h_lo, h_hi)
+            ],
+        )
+        dwin_parts.append(pl.pallas_call(
+            functools.partial(
+                _bwd_dval_kernel_hi, d, h, p, stride, nl, ct,
+                compute_dtype, h_lo, h_hi,
             ),
-            pl.BlockSpec((1, hd, ct), lambda i, t, jr: (i, 0, t)),
-        ],
-        out_specs=[
-            (lambda li_, wwp_, rm_: pl.BlockSpec(
-                (1, 1, 1, rm_, wwp_),
-                lambda i, t, jr, li=li_: (i, jr[li, i, t], 0, 0, 0),
-            ))(lvl_ * h + hd_, _round_up(ww, LANE), wrows_h[hd_] * d)
-            for lvl_, (hh, ww) in enumerate(spatial_shapes)
-            for hd_ in range(h)
-        ],
-    )
-    dwin = pl.pallas_call(
-        functools.partial(
-            _bwd_dval_kernel_hi, d, h, p, stride, nl, ct,
-            compute_dtype,
-        ),
-        grid_spec=dval_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (b, _n_windows(hh, stride), 1, wrows_h[hd_] * d,
-                 _round_up(ww, LANE)),
-                jnp.float32,
-            )
-            for (hh, ww) in spatial_shapes
-            for hd_ in range(h)
-        ],
-        interpret=interpret,
-    )(jrow, pay, gT)
+            grid_spec=dval_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (b, _n_windows(hh, stride), 1, wrows_h[hd_] * d,
+                     _round_up(ww, LANE)),
+                    jnp.float32,
+                )
+                for (hh, ww) in spatial_shapes
+                for hd_ in range(h_lo, h_hi)
+            ],
+            interpret=interpret,
+        )(jrow, pay, gT))
+    # reassemble into the (lvl, head) order the fold below indexes
+    dwin = [None] * (nl * h)
+    for ci, (h_lo, h_hi) in enumerate(chunks):
+        hs = h_hi - h_lo
+        for lvl in range(nl):
+            for hd_ in range(h_lo, h_hi):
+                dwin[lvl * h + hd_] = (
+                    dwin_parts[ci][lvl * hs + (hd_ - h_lo)]
+                )
 
     # assemble dValue: mask never-visited windows, fold overlaps PER HEAD
     # (per-head wrows differ), then stack heads head-major

@@ -372,8 +372,21 @@ def test_sca_inner_fused_matches_off():
     m_off = MSDeformableAttention3D(fused_msda="off", **kw)
     params = m_off.init(jax.random.PRNGKey(1), query, value, ref, shapes)
     a = m_off.apply(params, query, value, ref, shapes)
-    m_on = MSDeformableAttention3D(fused_msda="fp32", **kw)
-    b_ = m_on.apply(params, query, value, ref, shapes)
+    # production default halos are tuned for the 116-row base geometry and
+    # drop a little mass at this 40-row toy level (the documented window
+    # approximation, runtime-guarded by the drop-mass audit); pin the test
+    # at halos that cover the toy geometry and assert zero drop
+    from bevformer_tpu.configs.config import FusedSpec
+
+    spec = FusedSpec(msda="fp32", audit=True, sca_halo=15)
+    m_on = MSDeformableAttention3D(fused_msda=spec, **kw)
+    b_, inter = m_on.apply(
+        params, query, value, ref, shapes, mutable=["intermediates"]
+    )
+    drop = np.asarray(
+        inter["intermediates"]["msda_drop_mass"][0]
+    )
+    assert drop.sum() == 0.0, drop
     np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                rtol=1e-4, atol=1e-5)
 
@@ -397,7 +410,12 @@ def test_sca_inner_fused_bf16_close():
     m_off = MSDeformableAttention3D(fused_msda="off", **kw)
     params = m_off.init(jax.random.PRNGKey(1), query, value, ref, shapes)
     a = np.asarray(m_off.apply(params, query, value, ref, shapes))
-    m_on = MSDeformableAttention3D(fused_msda="bf16", **kw)
+    # toy-geometry halo override, same rationale as matches_off above
+    from bevformer_tpu.configs.config import FusedSpec
+
+    m_on = MSDeformableAttention3D(
+        fused_msda=FusedSpec(msda="bf16", audit=False, sca_halo=15), **kw
+    )
     b_ = np.asarray(
         m_on.apply(params, query, value, ref, shapes), np.float32
     )

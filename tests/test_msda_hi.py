@@ -205,6 +205,45 @@ def test_hi_backward_matches_oracle(shapes, heads, points, stride):
     jax.config.update("jax_enable_compilation_cache", True)
 
 
+def test_hi_backward_dval_head_chunked(monkeypatch):
+    """Head-chunked dValue pass (scoped-VMEM guard for wide windows, e.g.
+    the decoder's wrows-49 geometry) must equal the single-call result."""
+    from bevformer_tpu.kernels import msda_hi as mh
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    rng = np.random.RandomState(17)
+    shapes, heads, points, stride = ((30, 25),), 8, 8, 4
+    b, q, d = 1, 256, 32
+    k = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    value = jnp.array(rng.randn(b, k, heads, d), jnp.float32)
+    loc = jnp.array(_coherent_locations(rng, b, q, heads, shapes, points))
+    w = jnp.array(rng.rand(b, q, heads, l, points), jnp.float32)
+    cot = jnp.array(rng.randn(b, q, heads * d), jnp.float32)
+    loc_f, w_f = to_flat_lhp(np.asarray(loc), np.asarray(w))
+    loc_f, w_f = jnp.asarray(loc_f), jnp.asarray(w_f)
+
+    def loss_hi(v, lf, wf):
+        out = mh.ms_deform_attn_hi(
+            v.reshape(b, k, heads * d), shapes, lf, wf,
+            heads=heads, points=points, stride=stride, halo=8,
+            cap_tile=64,
+        )
+        return (out * cot).sum()
+
+    g_one = jax.grad(loss_hi, argnums=(0, 1, 2))(value, loc_f, w_f)
+    # force ~one head per chunk (per-head block at these shapes is
+    # 13*32*128*4 = 213k bytes)
+    monkeypatch.setenv("MSDA_BWD_DVAL_VMEM", str(300 * 1024))
+    jax.clear_caches()
+    g_chunk = jax.grad(loss_hi, argnums=(0, 1, 2))(value, loc_f, w_f)
+    for name, a, b_ in zip(("value", "loc", "attw"), g_one, g_chunk):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=0, atol=1e-6, err_msg=name
+        )
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 def test_hi_per_head_halos():
     """Per-head halo tuples (heads with a small row spread get narrow
     windows, tools/audit_halo.py perhead): forward + backward must match
