@@ -1017,7 +1017,10 @@ def _backward_hi(
             for (hh, ww) in spatial_shapes)
         for hd_ in range(h)
     ]
-    budget = int(os.environ.get("MSDA_BWD_DVAL_VMEM", 10 * 1024 * 1024))
+    # Mosaic double-buffers the revisited window outputs (~1.8x measured:
+    # 9.63M of blocks -> 17.82M scoped), so budget the PRE-doubling bytes
+    # at ~6.5M to stay clear of the 16M scoped limit with inputs included
+    budget = int(os.environ.get("MSDA_BWD_DVAL_VMEM", 6500 * 1024))
     chunks = []
     lo = 0
     while lo < h:
